@@ -1,0 +1,16 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; all sharding logic is
+validated on `--xla_force_host_platform_device_count=8` per the
+multi-host test strategy in SURVEY.md section 4.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
