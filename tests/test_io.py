@@ -1,0 +1,87 @@
+"""Tests for framebuffer quantization, savers, and texture loading."""
+
+import io
+
+import numpy as np
+import pytest
+
+from tracer.io import image as img
+from tracer.io import texture as tex
+
+
+class TestQuantize:
+    def test_gamma_clamp_scale(self):
+        # reference camera.cu:64-73: /spp, sqrt, clamp [0,0.999], *256, trunc
+        fb = np.array([[[0.0, 0.25, 100.0]]], np.float32)  # spp=1
+        q = img.quantize(fb, 1)
+        assert q.dtype == np.uint8
+        np.testing.assert_array_equal(q[0, 0], [0, int(256 * 0.5), int(256 * 0.999)])
+
+    def test_spp_division(self):
+        fb = np.full((1, 1, 3), 4.0, np.float32)
+        q = img.quantize(fb, 16)  # mean 0.25 -> gamma 0.5 -> 128
+        np.testing.assert_array_equal(q[0, 0], [128, 128, 128])
+
+
+class TestSavers:
+    def _fb(self):
+        g = np.random.default_rng(0)
+        return g.uniform(0, 1, size=(5, 7, 3)).astype(np.float32)
+
+    def test_binary_roundtrip(self, tmp_path):
+        fb = self._fb()
+        path = str(tmp_path / "out.bin")
+        img.write_binary(path, fb, 1)
+        back = img.read_binary(path)
+        np.testing.assert_array_equal(back, img.quantize(fb, 1))
+        # header is int32 w,h little-endian (camera.cu:139-142)
+        raw = open(path, "rb").read()
+        assert len(raw) == 8 + 5 * 7 * 3
+
+    def test_ppm(self, tmp_path):
+        fb = self._fb()
+        path = str(tmp_path / "out.ppm")
+        img.write_ppm(path, fb, 1)
+        lines = open(path).read().split("\n")
+        assert lines[0] == "P3"
+        assert lines[1] == "7 5"
+        assert lines[2] == "255"
+        first = [int(x) for x in lines[3].split()]
+        np.testing.assert_array_equal(first, img.quantize(fb, 1)[0, 0])
+
+    def test_ppm_stream(self):
+        buf = io.StringIO()
+        img.write_ppm_text(buf, self._fb(), 1)
+        assert buf.getvalue().startswith("P3\n7 5\n255\n")
+
+    def test_png(self, tmp_path):
+        from PIL import Image
+
+        fb = self._fb()
+        path = str(tmp_path / "out.png")
+        img.write_png(path, fb, 1)
+        with Image.open(path) as im:
+            back = np.asarray(im)
+        np.testing.assert_array_equal(back, img.quantize(fb, 1))
+
+
+class TestTextureLoad:
+    def test_ldr_to_hdr_gamma(self, tmp_path):
+        from PIL import Image
+
+        data = np.zeros((4, 4, 3), np.uint8)
+        data[..., 0] = 128
+        path = str(tmp_path / "t.png")
+        Image.fromarray(data).save(path)
+        t = tex.load_texture(path)
+        assert t.shape == (4, 4, 3)
+        # stbi_loadf: (128/255)^2.2
+        np.testing.assert_allclose(t[0, 0, 0], (128 / 255) ** 2.2, rtol=1e-5)
+        np.testing.assert_allclose(t[0, 0, 1], 0.0)
+
+    def test_missing_file(self):
+        assert tex.load_texture("/no/such/file.png") is None
+
+    def test_reference_floor_jpg(self):
+        t = tex.load_texture("/root/reference/floor.jpg")
+        assert t is not None and t.ndim == 3 and t.shape[2] == 3

@@ -1,0 +1,132 @@
+"""Multi-device / multi-host rendering: pixel tiles sharded over a Mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2: data-parallel over
+pixels within one kernel launch, no inter-device code). The TPU-native
+scaling design (SURVEY.md §5, §7 stage 7):
+
+- 1D device mesh with axis 'tiles'; the flat pixel axis is sharded
+  across it (`P('tiles')`), scene + camera pytrees are replicated.
+- Forward rendering needs ZERO communication: every device shades its
+  own pixels against the replicated scene (the tiny ~KB scene rides
+  free in HBM everywhere).
+- Backward: the transpose of replicated-scene broadcast is a `psum` of
+  per-device scene gradients over ICI — inserted automatically when
+  differentiating through `shard_map`.
+- Multi-host: the same code runs under `jax.distributed.initialize()`;
+  the mesh spans all hosts' devices and XLA routes the gradient psum
+  over ICI within a slice / DCN across hosts.
+
+Tested on a virtual 8-device CPU mesh (tests/conftest.py) per the
+multi-host test strategy in SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tracer.render import camera as camera_mod
+from tracer.render import renderer
+from tracer.scene.types import Scene
+
+AXIS = "tiles"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1D mesh over all (or the given) devices."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "use_bvh", "reference_quirk", "chunk", "mesh"),
+)
+def render_frame_sharded(
+    scene: Scene,
+    cam: camera_mod.CameraData,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    mesh: Mesh,
+    use_bvh: bool = False,
+    reference_quirk: bool = True,
+    chunk: int = renderer.DEFAULT_CHUNK,
+):
+    """Sharded frame render; returns [height, width, 3] raw sample sums.
+
+    Bit-identical to the single-device renderer.render_frame — sharding
+    only partitions the pixel axis; seeds are per-pixel so the split
+    point is invisible to the result.
+    """
+    n_dev = mesh.devices.size
+    i_flat, j_flat, base_seed = renderer.pixel_grid(width, height, reference_quirk)
+    n = i_flat.shape[0]
+    pad = (-n) % n_dev
+    if pad:
+        i_flat = jnp.pad(i_flat, (0, pad))
+        j_flat = jnp.pad(j_flat, (0, pad))
+        base_seed = jnp.pad(base_seed, (0, pad))
+    local_chunk = min(chunk, (n + pad) // n_dev)
+
+    def shard_body(scene, cam, i, j, base):
+        # Mark the replicated scene/camera as device-varying: keeps the
+        # scan-carry vma types consistent inside the shard, and makes the
+        # transpose of this broadcast a psum of per-device scene grads —
+        # the cross-device gradient all-reduce, inserted by autodiff.
+        def to_varying(x):
+            if not hasattr(x, "dtype"):
+                return x
+            try:
+                return jax.lax.pcast(x, (AXIS,), to="varying")
+            except AttributeError:  # older jax spells it pvary
+                return jax.lax.pvary(x, AXIS)
+
+        scene, cam = jax.tree.map(to_varying, (scene, cam))
+        return renderer.render_pixels(
+            scene, cam, i, j, base, spp, max_depth, use_bvh=use_bvh, chunk=local_chunk
+        )
+
+    fb = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS),
+    )(scene, cam, i_flat, j_flat, base_seed)
+    return fb[:n].reshape(height, width, 3)
+
+
+def scene_grads_sharded(
+    scene: Scene,
+    cam: camera_mod.CameraData,
+    target,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    mesh: Mesh,
+    use_bvh: bool = False,
+):
+    """L2-loss gradient of a sharded render w.r.t. the whole scene pytree.
+
+    The per-device partial gradients of the replicated scene are psum'd
+    across the mesh by the shard_map transpose — this is the reference's
+    missing 'distributed backend' slot (SURVEY.md §2) done the XLA way.
+    Returns (loss, grads) with grads a Scene-shaped pytree.
+    """
+
+    def loss_fn(scene):
+        fb = render_frame_sharded(
+            scene, cam, width, height, spp, max_depth, mesh, use_bvh=use_bvh
+        )
+        return jnp.mean((fb / spp - target) ** 2)
+
+    # allow_int: index/type fields of the Scene pytree get float0 tangents.
+    return jax.value_and_grad(loss_fn, allow_int=True)(scene)

@@ -1,0 +1,78 @@
+"""Animation frame driver: camera path, per-frame timing TSV, savers.
+
+TPU-native analog of reference `gpu_render` / `cpu_render`
+(src/camera.cu:290-394): a sequential frame loop evaluating the
+sinusoidal camera path, rendering with the jitted frame renderer (the
+compile is amortized across frames — same shapes), timing each frame
+with `block_until_ready` (the cudaEvent analog, camera.cu:333-343), and
+printing the identical `frame \t ms \t total_rays` TSV (camera.cu:344-346)
+from which Mrays/s is derived offline.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from tracer.io import image as image_io
+from tracer.render import camera as camera_mod
+from tracer.render import renderer
+from tracer.scene.params import SceneParams
+from tracer.scene.types import Scene
+
+
+def render_animation(
+    scene: Scene,
+    params: SceneParams,
+    use_bvh: bool = False,
+    saver: str = "bin",
+    out=sys.stdout,
+    reference_quirk: bool = True,
+    chunk: int = renderer.DEFAULT_CHUNK,
+    frames=None,
+):
+    """Render `params.num_frames` frames; returns the last framebuffer.
+
+    `saver` picks the output writer ('bin' matches the reference drivers,
+    camera.cu:300; 'png'/'ppm' also available). `frames` optionally
+    restricts to an iterable of frame indices.
+    """
+    sqrt_spp = params.render.sqrt_rays_per_pixel
+    spp = sqrt_spp * sqrt_spp  # camera.cu:319-320
+    width, height = params.width, params.height
+    writer = image_io.SAVERS[saver]
+    rays = renderer.total_rays(width, height, sqrt_spp)
+
+    fb = None
+    frame_iter = range(params.num_frames) if frames is None else frames
+    for n in frame_iter:
+        lookfrom, lookat = camera_mod.camera_path_position(
+            params.camera_path, n, params.num_frames
+        )
+        cam = camera_mod.build_camera_data(
+            origin=lookfrom,
+            look_at=lookat,
+            width=width,
+            height=height,
+            vfov=params.fov_degrees,
+            background=(0.0, 0.0, 0.0),  # camera.cu:323
+        )
+        t0 = time.perf_counter()
+        fb_dev = renderer.render_frame(
+            scene, cam, width, height, spp=spp,
+            max_depth=params.render.max_depth, use_bvh=use_bvh,
+            reference_quirk=reference_quirk, chunk=chunk,
+        )
+        fb_dev.block_until_ready()
+        ms = (time.perf_counter() - t0) * 1e3
+        print(f"{n}\t{ms}\t{rays}", file=out)
+
+        fb = np.asarray(fb_dev)
+        try:
+            filename = params.output_path % n  # snprintf(path, n), camera.cu:298-300
+        except TypeError:
+            filename = params.output_path
+        writer(filename, fb, spp)
+    return fb

@@ -1,0 +1,110 @@
+"""Path-trace integrator: the reference's per-thread bounce loop as a
+masked `lax.scan` over depth.
+
+reference `ray_color` / `ray_color_host` (src/camera.cu:218-288): an
+iterative loop with throughput `beta`, early `break` on miss or absorbed
+scatter. Early exits become an `alive` mask carried through the scan
+(SURVEY.md §7 stage 2); dead lanes keep computing but their state is
+frozen, which is the branchless price a vector machine pays.
+
+Fully differentiable w.r.t. the scene pytree and camera (reverse mode
+through scan); discrete decisions (hit argmin, material switch, RNG
+gates) are piecewise-constant and contribute no gradient, matching the
+straight-through convention in SURVEY.md §7 stage 6.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tracer.materials import scatter as scatter_mod
+from tracer.materials import texture as texture_mod
+from tracer.render import hit as hit_mod
+from tracer.scene.types import Scene
+
+
+def _bounce(scene: Scene, background, carry, hit_fn):
+    origin, direction, beta, final, seed, alive = carry
+
+    rec = hit_fn(scene, origin, direction)
+
+    # Miss: final += beta * background, path dies (camera.cu:226-229).
+    miss = alive & ~rec.hit
+    final = final + jnp.where(miss[..., None], beta * background, 0.0)
+
+    active = alive & rec.hit
+
+    # Gather the material (camera.cu:231).
+    mats = scene.materials
+    midx = rec.material_idx
+    mtype = mats.mtype[midx]
+    fuzz = mats.fuzz[midx]
+    ir = mats.ir[midx]
+    absorption = mats.absorption[midx]
+    albedo = mats.albedo[midx]
+    emit = mats.emit[midx]
+    tex_id = mats.tex_id[midx]
+
+    # Texture-modulated albedo (camera.cu:233-236 / :269-271).
+    if scene.textures is not None:
+        tex_rgb = texture_mod.sample_bilinear(scene.textures, tex_id, rec.u, rec.v)
+        albedo = jnp.where((tex_id >= 0)[..., None], albedo * tex_rgb, albedo)
+
+    # Emission before scatter (camera.cu:237-238).
+    final = final + jnp.where(active[..., None], beta * emit, 0.0)
+
+    # Scatter (camera.cu:240-244). Seeds advance on every lane each bounce
+    # (fixed 8-draw budget) so streams stay uniform across the batch.
+    seed, new_origin, new_dir, attenuation, ok = scatter_mod.scatter(
+        origin, direction, rec.point, rec.normal, rec.front_face,
+        mtype, fuzz, ir, absorption, albedo, seed,
+    )
+
+    live = active & ok
+    beta = jnp.where(live[..., None], beta * attenuation, beta)
+    origin = jnp.where(live[..., None], new_origin, origin)
+    direction = jnp.where(live[..., None], new_dir, direction)
+
+    return (origin, direction, beta, final, seed, live)
+
+
+@partial(jax.jit, static_argnames=("max_depth", "use_bvh"))
+def trace(scene: Scene, background, origin, direction, seed, max_depth: int, use_bvh: bool = False):
+    """Radiance for a batch of rays.
+
+    Args:
+      scene: replicated Scene pytree.
+      background: [3] f32 (reference camera background, black by default).
+      origin, direction: [R, 3] primary rays.
+      seed: [R] u32, already advanced past ray generation.
+      max_depth: static bounce cap (reference camera.cu:223).
+      use_bvh: route intersection through the BVH traversal instead of the
+        dense brute-force matrix (scene.bvh must be set).
+
+    Returns (final_color [R, 3], seed [R]).
+    """
+    if use_bvh:
+        from tracer.bvh import traverse as bvh_traverse
+
+        hit_fn = bvh_traverse.hit_scene_bvh
+    else:
+        hit_fn = hit_mod.hit_scene_brute
+
+    # Derive the carry inits from the ray arrays (ones_like/comparison)
+    # rather than fresh constants so their varying-manual-axes types match
+    # under shard_map (a fresh jnp.ones is 'unvarying' and would clash
+    # with the varying carry output on the device-sharded pixel axis).
+    beta = jnp.ones_like(origin)
+    final = jnp.zeros_like(origin)
+    alive = seed == seed  # all-True, vma-consistent with the ray batch
+    carry = (origin, direction, beta, final, seed, alive)
+
+    def body(carry, _):
+        return _bounce(scene, background, carry, hit_fn), None
+
+    carry, _ = jax.lax.scan(body, carry, None, length=max_depth)
+    _, _, _, final, seed, _ = carry
+    return final, seed

@@ -1,0 +1,130 @@
+"""Frame renderer: pixel-grid ray generation, spp accumulation, chunking.
+
+TPU-native form of reference `render_kernel` (src/camera.cu:17-34): the
+CUDA 16x16-block pixel grid becomes a flat ray batch processed in fixed
+chunks via `lax.map` (bounding peak memory for the dense [R, prims]
+intersection matrices), with the spp loop as a `lax.scan` inside the
+chunk for locality. The framebuffer holds RAW sample sums (un-averaged),
+exactly like the reference (camera.cu:33); savers divide by spp.
+
+`render_pixels` is the shard-local core — tracer.dist shards its pixel
+axis over a device mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tracer.core import rng
+from tracer.render import camera as camera_mod
+from tracer.render import integrator
+from tracer.scene.types import Scene
+
+DEFAULT_CHUNK = 16384
+
+
+def render_pixels(
+    scene: Scene,
+    cam: camera_mod.CameraData,
+    i_flat,
+    j_flat,
+    base_seed,
+    spp: int,
+    max_depth: int,
+    use_bvh: bool = False,
+    chunk: int = DEFAULT_CHUNK,
+):
+    """Raw sample sums [N, 3] for a flat list of pixels.
+
+    i_flat/j_flat: [N] u32 pixel column/row; base_seed: [N] u32 per-pixel
+    seed (reference camera.cu:25). The pixel axis is processed in
+    `chunk`-sized blocks (a sequential lax.map bounding the [chunk, prims]
+    working set); spp accumulates in a scan per block (camera.cu:27-31).
+    """
+    n = i_flat.shape[0]
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    if pad:
+        i_flat = jnp.pad(i_flat, (0, pad))
+        j_flat = jnp.pad(j_flat, (0, pad))
+        base_seed = jnp.pad(base_seed, (0, pad))
+    num_chunks = (n + pad) // chunk
+
+    def one_sample(i, j, base, s):
+        seed = rng.sample_seed(base, s)
+        seed, origin, direction = camera_mod.get_rays(cam, i, j, seed)
+        color, _ = integrator.trace(
+            scene, cam.background, origin, direction, seed, max_depth, use_bvh=use_bvh
+        )
+        return color
+
+    # Recompute each sample in the backward pass instead of saving every
+    # bounce's residuals for all spp iterations (remat over the spp scan).
+    one_sample = jax.checkpoint(one_sample)
+
+    def per_chunk(args):
+        i, j, base = args
+
+        def body(acc, s):
+            return acc + one_sample(i, j, base, s), None
+
+        # zeros_like(i, ...) keeps the shard_map varying-axes type of the
+        # pixel batch (a fresh jnp.zeros would be 'unvarying' and clash).
+        acc0 = jnp.zeros_like(i, dtype=jnp.float32, shape=(chunk, 3))
+        acc, _ = jax.lax.scan(body, acc0, jnp.arange(spp, dtype=jnp.uint32))
+        return acc
+
+    i_c = i_flat.reshape(num_chunks, chunk)
+    j_c = j_flat.reshape(num_chunks, chunk)
+    seed_c = base_seed.reshape(num_chunks, chunk)
+    fb = jax.lax.map(per_chunk, (i_c, j_c, seed_c)).reshape(-1, 3)
+    return fb[:n]
+
+
+def pixel_grid(width: int, height: int, reference_quirk: bool = True):
+    """Flat pixel index arrays (i=column, j=row) and per-pixel base seeds.
+
+    Seeding matches the reference: wang_hash(i*width + j) (camera.cu:25,
+    the i*width+j quirk — SURVEY.md §7(e); reference_quirk=False uses the
+    corrected row-major layout)."""
+    jj, ii = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.uint32),
+        jnp.arange(width, dtype=jnp.uint32),
+        indexing="ij",
+    )
+    i_flat = ii.reshape(-1)
+    j_flat = jj.reshape(-1)
+    base_seed = rng.pixel_seed(i_flat, j_flat, width, reference_quirk=reference_quirk)
+    return i_flat, j_flat, base_seed
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "use_bvh", "reference_quirk", "chunk"),
+)
+def render_frame(
+    scene: Scene,
+    cam: camera_mod.CameraData,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    use_bvh: bool = False,
+    reference_quirk: bool = True,
+    chunk: int = DEFAULT_CHUNK,
+):
+    """Render one frame; returns [height, width, 3] raw sample sums."""
+    i_flat, j_flat, base_seed = pixel_grid(width, height, reference_quirk)
+    fb = render_pixels(
+        scene, cam, i_flat, j_flat, base_seed, spp, max_depth,
+        use_bvh=use_bvh, chunk=chunk,
+    )
+    return fb.reshape(height, width, 3)
+
+
+def total_rays(width: int, height: int, sqrt_spp: int) -> int:
+    """reference camera.cu:344-345: width*height*sqrt_spp^2."""
+    return width * height * sqrt_spp * sqrt_spp
