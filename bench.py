@@ -44,9 +44,12 @@ def main() -> int:
 
     def run(cam):
         fb = renderer.render_frame(
-            scene, cam, WIDTH, HEIGHT, spp=SPP, max_depth=DEPTH, chunk=65536
+            scene, cam, WIDTH, HEIGHT, spp=SPP, max_depth=DEPTH, chunk=65536,
+            early_exit=True,
         )
-        fb.block_until_ready()
+        # block_until_ready does not reliably block on the tunneled axon
+        # backend; a (tiny) host fetch is the only trustworthy sync.
+        float(fb[0, 0, 0])
         return fb
 
     run(cam)  # compile

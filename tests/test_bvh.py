@@ -86,8 +86,8 @@ class TestTraversal:
 
         scene = _scene()
         cam = C.build_camera_data([-15.0, 0.0, 4.5], [0.0, 4.5, 0.0], 24, 16, 90.0)
-        fb_b = np.asarray(renderer.render_frame(scene, cam, 24, 16, spp=2, max_depth=4, chunk=384))
+        fb_b = np.asarray(renderer.render_frame(scene, cam, 24, 16, spp=2, max_depth=4, intersector="brute", chunk=384))
         fb_v = np.asarray(
-            renderer.render_frame(scene, cam, 24, 16, spp=2, max_depth=4, use_bvh=True, chunk=384)
+            renderer.render_frame(scene, cam, 24, 16, spp=2, max_depth=4, intersector="bvh", chunk=384)
         )
         np.testing.assert_allclose(fb_v, fb_b, atol=1e-4)

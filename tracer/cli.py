@@ -83,7 +83,7 @@ def main(argv=None) -> int:
     driver.render_animation(
         scene,
         params,
-        use_bvh=args.bvh,
+        intersector="bvh" if args.bvh else "fast",
         saver=args.format,
         reference_quirk=not args.no_quirk,
     )

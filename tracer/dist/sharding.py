@@ -46,7 +46,7 @@ def make_mesh(devices=None) -> Mesh:
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "use_bvh", "reference_quirk", "chunk", "mesh"),
+    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "mesh"),
 )
 def render_frame_sharded(
     scene: Scene,
@@ -56,7 +56,7 @@ def render_frame_sharded(
     spp: int,
     max_depth: int,
     mesh: Mesh,
-    use_bvh: bool = False,
+    intersector: str = "fast",
     reference_quirk: bool = True,
     chunk: int = renderer.DEFAULT_CHUNK,
 ):
@@ -91,7 +91,8 @@ def render_frame_sharded(
 
         scene, cam = jax.tree.map(to_varying, (scene, cam))
         return renderer.render_pixels(
-            scene, cam, i, j, base, spp, max_depth, use_bvh=use_bvh, chunk=local_chunk
+            scene, cam, i, j, base, spp, max_depth,
+            intersector=intersector, chunk=local_chunk,
         )
 
     fb = jax.shard_map(
@@ -112,7 +113,7 @@ def scene_grads_sharded(
     spp: int,
     max_depth: int,
     mesh: Mesh,
-    use_bvh: bool = False,
+    intersector: str = "fast",
 ):
     """L2-loss gradient of a sharded render w.r.t. the whole scene pytree.
 
@@ -124,7 +125,7 @@ def scene_grads_sharded(
 
     def loss_fn(scene):
         fb = render_frame_sharded(
-            scene, cam, width, height, spp, max_depth, mesh, use_bvh=use_bvh
+            scene, cam, width, height, spp, max_depth, mesh, intersector=intersector
         )
         return jnp.mean((fb / spp - target) ** 2)
 

@@ -26,12 +26,13 @@ from tracer.scene.types import Scene
 def render_animation(
     scene: Scene,
     params: SceneParams,
-    use_bvh: bool = False,
+    intersector: str = "fast",
     saver: str = "bin",
     out=sys.stdout,
     reference_quirk: bool = True,
     chunk: int = renderer.DEFAULT_CHUNK,
     frames=None,
+    early_exit: bool = True,
 ):
     """Render `params.num_frames` frames; returns the last framebuffer.
 
@@ -62,10 +63,12 @@ def render_animation(
         t0 = time.perf_counter()
         fb_dev = renderer.render_frame(
             scene, cam, width, height, spp=spp,
-            max_depth=params.render.max_depth, use_bvh=use_bvh,
-            reference_quirk=reference_quirk, chunk=chunk,
+            max_depth=params.render.max_depth, intersector=intersector,
+            reference_quirk=reference_quirk, chunk=chunk, early_exit=early_exit,
         )
-        fb_dev.block_until_ready()
+        # A tiny host fetch is the reliable sync (block_until_ready does
+        # not block on some tunneled backends); cudaEvent analog.
+        float(fb_dev[0, 0, 0])
         ms = (time.perf_counter() - t0) * 1e3
         print(f"{n}\t{ms}\t{rays}", file=out)
 

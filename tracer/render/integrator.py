@@ -7,6 +7,13 @@ scatter. Early exits become an `alive` mask carried through the scan
 (SURVEY.md §7 stage 2); dead lanes keep computing but their state is
 frozen, which is the branchless price a vector machine pays.
 
+Three interchangeable intersectors (all produce identical radiance):
+  "fast"  - MXU-formulated brute force with one-hot material join
+            (tracer.render.hit_fast) — the TPU default.
+  "brute" - direct vectorized port (tracer.render.hit) — the readable
+            reference implementation the oracle tests pin down.
+  "bvh"   - batched BVH traversal (tracer.bvh.traverse) for large scenes.
+
 Fully differentiable w.r.t. the scene pytree and camera (reverse mode
 through scan); discrete decisions (hit argmin, material switch, RNG
 gates) are piecewise-constant and contribute no gradient, matching the
@@ -23,13 +30,50 @@ import jax.numpy as jnp
 from tracer.materials import scatter as scatter_mod
 from tracer.materials import texture as texture_mod
 from tracer.render import hit as hit_mod
+from tracer.render import hit_fast
 from tracer.scene.types import Scene
 
+INTERSECTORS = ("fast", "brute", "bvh")
 
-def _bounce(scene: Scene, background, carry, hit_fn):
+
+def _joined_hit(scene: Scene, origin, direction, intersector: str):
+    """Nearest hit with material fields joined, via any intersector."""
+    if intersector == "fast":
+        return hit_fast.hit_scene_fast(scene, origin, direction)
+
+    if intersector == "brute":
+        rec = hit_mod.hit_scene_brute(scene, origin, direction)
+    elif intersector == "bvh":
+        from tracer.bvh import traverse as bvh_traverse
+
+        rec = bvh_traverse.hit_scene_bvh(scene, origin, direction)
+    else:
+        raise ValueError(f"unknown intersector {intersector!r}")
+
+    mats = scene.materials
+    midx = rec.material_idx
+    return hit_fast.JoinedHit(
+        hit=rec.hit,
+        t=rec.t,
+        point=rec.point,
+        normal=rec.normal,
+        front_face=rec.front_face,
+        u=rec.u,
+        v=rec.v,
+        mtype=mats.mtype[midx],
+        fuzz=mats.fuzz[midx],
+        ir=mats.ir[midx],
+        absorption=mats.absorption[midx],
+        albedo=mats.albedo[midx],
+        emit=mats.emit[midx],
+        tex_id=mats.tex_id[midx],
+    )
+
+
+def _bounce(scene: Scene, background, carry, intersector: str):
     origin, direction, beta, final, seed, alive = carry
 
-    rec = hit_fn(scene, origin, direction)
+    rec = _joined_hit(scene, origin, direction, intersector)
 
     # Miss: final += beta * background, path dies (camera.cu:226-229).
     miss = alive & ~rec.hit
@@ -37,30 +81,20 @@ def _bounce(scene: Scene, background, carry, hit_fn):
 
     active = alive & rec.hit
 
-    # Gather the material (camera.cu:231).
-    mats = scene.materials
-    midx = rec.material_idx
-    mtype = mats.mtype[midx]
-    fuzz = mats.fuzz[midx]
-    ir = mats.ir[midx]
-    absorption = mats.absorption[midx]
-    albedo = mats.albedo[midx]
-    emit = mats.emit[midx]
-    tex_id = mats.tex_id[midx]
-
     # Texture-modulated albedo (camera.cu:233-236 / :269-271).
+    albedo = rec.albedo
     if scene.textures is not None:
-        tex_rgb = texture_mod.sample_bilinear(scene.textures, tex_id, rec.u, rec.v)
-        albedo = jnp.where((tex_id >= 0)[..., None], albedo * tex_rgb, albedo)
+        tex_rgb = texture_mod.sample_bilinear(scene.textures, rec.tex_id, rec.u, rec.v)
+        albedo = jnp.where((rec.tex_id >= 0)[..., None], albedo * tex_rgb, albedo)
 
     # Emission before scatter (camera.cu:237-238).
-    final = final + jnp.where(active[..., None], beta * emit, 0.0)
+    final = final + jnp.where(active[..., None], beta * rec.emit, 0.0)
 
     # Scatter (camera.cu:240-244). Seeds advance on every lane each bounce
     # (fixed 8-draw budget) so streams stay uniform across the batch.
     seed, new_origin, new_dir, attenuation, ok = scatter_mod.scatter(
         origin, direction, rec.point, rec.normal, rec.front_face,
-        mtype, fuzz, ir, absorption, albedo, seed,
+        rec.mtype, rec.fuzz, rec.ir, rec.absorption, albedo, seed,
     )
 
     live = active & ok
@@ -71,8 +105,17 @@ def _bounce(scene: Scene, background, carry, hit_fn):
     return (origin, direction, beta, final, seed, live)
 
 
-@partial(jax.jit, static_argnames=("max_depth", "use_bvh"))
-def trace(scene: Scene, background, origin, direction, seed, max_depth: int, use_bvh: bool = False):
+@partial(jax.jit, static_argnames=("max_depth", "intersector", "early_exit"))
+def trace(
+    scene: Scene,
+    background,
+    origin,
+    direction,
+    seed,
+    max_depth: int,
+    intersector: str = "fast",
+    early_exit: bool = False,
+):
     """Radiance for a batch of rays.
 
     Args:
@@ -81,18 +124,16 @@ def trace(scene: Scene, background, origin, direction, seed, max_depth: int, use
       origin, direction: [R, 3] primary rays.
       seed: [R] u32, already advanced past ray generation.
       max_depth: static bounce cap (reference camera.cu:223).
-      use_bvh: route intersection through the BVH traversal instead of the
-        dense brute-force matrix (scene.bvh must be set).
+      intersector: "fast" (MXU brute force), "brute" (reference port),
+        or "bvh" (scene.bvh must be built).
+      early_exit: run the depth loop as a while_loop that stops as soon as
+        every ray in the batch has terminated — the vectorized analog of
+        the reference's per-thread `break` (camera.cu:228). Forward-only:
+        while_loop is not reverse-differentiable, so gradient paths use
+        the masked scan (early_exit=False).
 
     Returns (final_color [R, 3], seed [R]).
     """
-    if use_bvh:
-        from tracer.bvh import traverse as bvh_traverse
-
-        hit_fn = bvh_traverse.hit_scene_bvh
-    else:
-        hit_fn = hit_mod.hit_scene_brute
-
     # Derive the carry inits from the ray arrays (ones_like/comparison)
     # rather than fresh constants so their varying-manual-axes types match
     # under shard_map (a fresh jnp.ones is 'unvarying' and would clash
@@ -102,9 +143,20 @@ def trace(scene: Scene, background, origin, direction, seed, max_depth: int, use
     alive = seed == seed  # all-True, vma-consistent with the ray batch
     carry = (origin, direction, beta, final, seed, alive)
 
-    def body(carry, _):
-        return _bounce(scene, background, carry, hit_fn), None
+    if early_exit:
+        def cond(state):
+            depth, carry = state
+            return (depth < max_depth) & jnp.any(carry[-1])
 
-    carry, _ = jax.lax.scan(body, carry, None, length=max_depth)
+        def body(state):
+            depth, carry = state
+            return depth + 1, _bounce(scene, background, carry, intersector)
+
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+    else:
+        def body(carry, _):
+            return _bounce(scene, background, carry, intersector), None
+
+        carry, _ = jax.lax.scan(body, carry, None, length=max_depth)
     _, _, _, final, seed, _ = carry
     return final, seed

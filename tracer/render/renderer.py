@@ -34,8 +34,9 @@ def render_pixels(
     base_seed,
     spp: int,
     max_depth: int,
-    use_bvh: bool = False,
+    intersector: str = "fast",
     chunk: int = DEFAULT_CHUNK,
+    early_exit: bool = False,
 ):
     """Raw sample sums [N, 3] for a flat list of pixels.
 
@@ -57,7 +58,8 @@ def render_pixels(
         seed = rng.sample_seed(base, s)
         seed, origin, direction = camera_mod.get_rays(cam, i, j, seed)
         color, _ = integrator.trace(
-            scene, cam.background, origin, direction, seed, max_depth, use_bvh=use_bvh
+            scene, cam.background, origin, direction, seed, max_depth,
+            intersector=intersector, early_exit=early_exit,
         )
         return color
 
@@ -103,7 +105,7 @@ def pixel_grid(width: int, height: int, reference_quirk: bool = True):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "use_bvh", "reference_quirk", "chunk"),
+    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "early_exit"),
 )
 def render_frame(
     scene: Scene,
@@ -112,15 +114,19 @@ def render_frame(
     height: int,
     spp: int,
     max_depth: int,
-    use_bvh: bool = False,
+    intersector: str = "fast",
     reference_quirk: bool = True,
     chunk: int = DEFAULT_CHUNK,
+    early_exit: bool = False,
 ):
-    """Render one frame; returns [height, width, 3] raw sample sums."""
+    """Render one frame; returns [height, width, 3] raw sample sums.
+
+    early_exit=True stops the bounce loop as soon as a whole pixel chunk
+    has terminated (forward-only; see integrator.trace)."""
     i_flat, j_flat, base_seed = pixel_grid(width, height, reference_quirk)
     fb = render_pixels(
         scene, cam, i_flat, j_flat, base_seed, spp, max_depth,
-        use_bvh=use_bvh, chunk=chunk,
+        intersector=intersector, chunk=chunk, early_exit=early_exit,
     )
     return fb.reshape(height, width, 3)
 
