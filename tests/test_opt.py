@@ -1,0 +1,83 @@
+"""Inverse-rendering fit: loss descends, checkpoints resume exactly."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tracer.opt import fit as fit_mod
+from tracer.render import camera as C
+from tracer.render import renderer
+from tracer.scene import types as T
+
+W, H, SPP, DEPTH = 12, 8, 2, 3
+
+
+def _scene(albedo0=(0.7, 0.3, 0.3)):
+    spheres = T.make_spheres([[0, 0, 1.0], [3, 3, 5.0]], [1.0, 1.5], [0, 2])
+    planes = T.make_planes([T.QUAD], [[-10, -10, 0]], [[20, 0, 0]], [[0, 20, 0]], [1])
+    mats = T.make_materials(
+        [T.LAMBERTIAN, T.LAMBERTIAN, T.DIFFUSE_LIGHT],
+        [0, 0, 0], [1, 1, 1], np.zeros((3, 3)),
+        [list(albedo0), [0.5, 0.5, 0.5], [0, 0, 0]],
+        [[0, 0, 0], [0, 0, 0], [8, 8, 8]], [-1, -1, -1],
+    )
+    return T.Scene(spheres, planes, mats, None, None)
+
+
+def _cam():
+    return C.build_camera_data([4, -4, 2.5], [0, 0, 1], W, H, 60.0, background=(0.1, 0.1, 0.2))
+
+
+def _target(scene):
+    fb = renderer.render_frame(scene, _cam(), W, H, spp=SPP, max_depth=DEPTH, chunk=W * H)
+    return np.asarray(fb) / SPP
+
+
+class TestPathHelpers:
+    def test_get_set_roundtrip(self):
+        scene = _scene()
+        v = fit_mod.get_path(scene, "materials.albedo")
+        scene2 = fit_mod.set_path(scene, "materials.albedo", v * 2)
+        np.testing.assert_allclose(np.asarray(scene2.materials.albedo), np.asarray(v) * 2)
+        # untouched leaves identical
+        np.testing.assert_allclose(
+            np.asarray(scene2.spheres.center), np.asarray(scene.spheres.center)
+        )
+
+
+class TestFit:
+    def test_albedo_recovers(self):
+        true_scene = _scene(albedo0=(0.2, 0.8, 0.4))
+        target = _target(true_scene)
+        init = _scene(albedo0=(0.5, 0.5, 0.5))
+        fitted, losses = fit_mod.fit(
+            init, _cam(), target, W, H, spp=SPP, max_depth=DEPTH,
+            param_paths=("materials.albedo",), steps=60, learning_rate=5e-2,
+            log_every=0,
+        )
+        assert min(losses) < losses[0] * 0.5, (losses[0], min(losses))
+        got = np.asarray(fitted.materials.albedo)[0]
+        want = np.array([0.2, 0.8, 0.4])
+        assert np.abs(got - want).max() < 0.1, got
+
+    def test_checkpoint_resume_bitexact(self, tmp_path):
+        true_scene = _scene(albedo0=(0.3, 0.6, 0.2))
+        target = _target(true_scene)
+        init = _scene(albedo0=(0.5, 0.5, 0.5))
+        kw = dict(
+            param_paths=("materials.albedo",), learning_rate=3e-2, log_every=0,
+            spp=SPP, max_depth=DEPTH,
+        )
+        # one uninterrupted 12-step run
+        full, _ = fit_mod.fit(init, _cam(), target, W, H, steps=12, **kw)
+
+        # 6 steps + checkpoint, then resume for the remaining 6
+        ck = str(tmp_path / "fit.npz")
+        fit_mod.fit(init, _cam(), target, W, H, steps=6, checkpoint_path=ck,
+                    checkpoint_every=100, **kw)
+        resumed, _ = fit_mod.fit(init, _cam(), target, W, H, steps=12,
+                                 checkpoint_path=ck, checkpoint_every=100, **kw)
+        np.testing.assert_allclose(
+            np.asarray(resumed.materials.albedo),
+            np.asarray(full.materials.albedo),
+            rtol=1e-6, atol=1e-7,
+        )

@@ -1,0 +1,64 @@
+"""Megakernel parity: Pallas (interpret mode on CPU) vs XLA renderer.
+
+The kernel consumes the identical wang_hash streams, so agreement is
+near-exact (f32 reassociation only).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from tracer.pallas import megakernel
+from tracer.render import camera as C
+from tracer.render import renderer
+from tracer.scene import builders, config
+
+
+def _scene():
+    params = config.read_scene_params(io.StringIO(config.smoke_config_text()))
+    return builders.create_scene(params, texture_loader=lambda _: None)
+
+
+def _cam(w, h):
+    return C.build_camera_data([-15.0, 0.0, 4.5], [0.0, 4.5, 0.0], w, h, 90.0)
+
+
+@pytest.mark.parametrize("quirk", [True, False])
+def test_megakernel_matches_xla(quirk):
+    scene = _scene()
+    w, h = 32, 8  # 256 pixels = 2 tiles
+    cam = _cam(w, h)
+    ref = np.asarray(
+        renderer.render_frame(
+            scene, cam, w, h, spp=2, max_depth=4, reference_quirk=quirk, chunk=256
+        )
+    )
+    got = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=2, max_depth=4, reference_quirk=quirk, interpret=True
+        )
+    )
+    diff = np.abs(got - ref).max(axis=-1)
+    assert (diff < 1e-3).mean() > 0.99, f"max {diff.max()}, frac {(diff < 1e-3).mean()}"
+
+
+def test_megakernel_partial_tile():
+    # 100 pixels: one partial tile — padding lanes must not pollute output
+    scene = _scene()
+    w, h = 20, 5
+    cam = _cam(w, h)
+    ref = np.asarray(renderer.render_frame(scene, cam, w, h, spp=1, max_depth=3, chunk=128))
+    got = np.asarray(
+        megakernel.render_frame_pallas(scene, cam, w, h, spp=1, max_depth=3, interpret=True)
+    )
+    diff = np.abs(got - ref).max(axis=-1)
+    assert (diff < 1e-3).mean() > 0.98, f"max {diff.max()}"
+
+
+def test_megakernel_rejects_textures():
+    import jax.numpy as jnp
+
+    scene = _scene()._replace(textures=jnp.zeros((1, 4, 4, 3)))
+    with pytest.raises(AssertionError):
+        megakernel.render_frame_pallas(scene, _cam(8, 8), 8, 8, spp=1, max_depth=2, interpret=True)
