@@ -31,6 +31,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="output format (bin matches the reference BinarySaver)")
     p.add_argument("--frames", type=int, default=None, help="render only the first N frames")
     p.add_argument("--bvh", action="store_true", help="use BVH traversal instead of brute force")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas megakernel (untextured scenes)")
     p.add_argument("--no-quirk", action="store_true",
                    help="use corrected j*width+i pixel seeding instead of the reference quirk")
     return p
@@ -86,6 +88,7 @@ def main(argv=None) -> int:
         intersector="bvh" if args.bvh else "fast",
         saver=args.format,
         reference_quirk=not args.no_quirk,
+        engine="pallas" if args.pallas else "xla",
     )
     return 0
 

@@ -33,12 +33,16 @@ def render_animation(
     chunk: int = renderer.DEFAULT_CHUNK,
     frames=None,
     early_exit: bool = True,
+    engine: str = "xla",
 ):
     """Render `params.num_frames` frames; returns the last framebuffer.
 
     `saver` picks the output writer ('bin' matches the reference drivers,
     camera.cu:300; 'png'/'ppm' also available). `frames` optionally
-    restricts to an iterable of frame indices.
+    restricts to an iterable of frame indices. `engine` selects the
+    compute path: "xla" (chunked renderer, any intersector, textures) or
+    "pallas" (fused megakernel; untextured scenes only — interpret mode
+    is used automatically off-TPU).
     """
     sqrt_spp = params.render.sqrt_rays_per_pixel
     spp = sqrt_spp * sqrt_spp  # camera.cu:319-320
@@ -61,11 +65,22 @@ def render_animation(
             background=(0.0, 0.0, 0.0),  # camera.cu:323
         )
         t0 = time.perf_counter()
-        fb_dev = renderer.render_frame(
-            scene, cam, width, height, spp=spp,
-            max_depth=params.render.max_depth, intersector=intersector,
-            reference_quirk=reference_quirk, chunk=chunk, early_exit=early_exit,
-        )
+        if engine == "pallas":
+            from tracer.pallas import megakernel
+            import jax
+
+            fb_dev = megakernel.render_frame_pallas(
+                scene, cam, width, height, spp=spp,
+                max_depth=params.render.max_depth,
+                reference_quirk=reference_quirk,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            fb_dev = renderer.render_frame(
+                scene, cam, width, height, spp=spp,
+                max_depth=params.render.max_depth, intersector=intersector,
+                reference_quirk=reference_quirk, chunk=chunk, early_exit=early_exit,
+            )
         # A tiny host fetch is the reliable sync (block_until_ready does
         # not block on some tunneled backends); cudaEvent analog.
         float(fb_dev[0, 0, 0])
