@@ -100,3 +100,21 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestSppSharding:
+    def test_spp_sharded_matches_single(self, mesh):
+        from tracer.dist import sharding as S
+
+        scene, cam = _scene(), _cam()
+        fb1 = np.asarray(renderer.render_frame(scene, cam, W, H, spp=8, max_depth=3, chunk=W * H))
+        fb8 = np.asarray(
+            S.render_frame_spp_sharded(scene, cam, W, H, spp=8, max_depth=3, mesh=mesh)
+        )
+        np.testing.assert_allclose(fb8, fb1, rtol=1e-5, atol=1e-5)
+
+    def test_spp_not_divisible_raises(self, mesh):
+        from tracer.dist import sharding as S
+
+        with pytest.raises(AssertionError):
+            S.render_frame_spp_sharded(_scene(), _cam(), W, H, spp=7, max_depth=2, mesh=mesh)

@@ -62,3 +62,31 @@ def test_megakernel_rejects_textures():
     scene = _scene()._replace(textures=jnp.zeros((1, 4, 4, 3)))
     with pytest.raises(AssertionError):
         megakernel.render_frame_pallas(scene, _cam(8, 8), 8, 8, spp=1, max_depth=2, interpret=True)
+
+
+def test_diff_megakernel_grads_match_xla():
+    """custom_vjp: pallas forward (interpret), XLA backward."""
+    import jax
+    import jax.numpy as jnp
+
+    from tracer.pallas import diff as pdiff
+
+    scene = _scene()
+    w, h = 16, 8
+    cam = _cam(w, h)
+
+    def loss_pallas(albedo):
+        s = scene._replace(materials=scene.materials._replace(albedo=albedo))
+        fb = pdiff.render_frame_diff(s, cam, w, h, 2, 3, True)
+        return jnp.sum(fb * fb)
+
+    def loss_xla(albedo):
+        s = scene._replace(materials=scene.materials._replace(albedo=albedo))
+        fb = renderer.render_frame(s, cam, w, h, spp=2, max_depth=3, chunk=w * h)
+        return jnp.sum(fb * fb)
+
+    a0 = scene.materials.albedo
+    v_p, g_p = jax.value_and_grad(loss_pallas)(a0)
+    v_x, g_x = jax.value_and_grad(loss_xla)(a0)
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4, atol=1e-6)

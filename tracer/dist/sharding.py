@@ -104,6 +104,60 @@ def render_frame_sharded(
     return fb[:n].reshape(height, width, 3)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "mesh"),
+)
+def render_frame_spp_sharded(
+    scene: Scene,
+    cam: camera_mod.CameraData,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    mesh: Mesh,
+    intersector: str = "fast",
+    reference_quirk: bool = True,
+    chunk: int = renderer.DEFAULT_CHUNK,
+):
+    """Sample-axis sharding (SURVEY.md §2 parallelism table): every device
+    renders ALL pixels with a disjoint slice of the per-pixel sample
+    stream, and the raw sums psum over the mesh. Useful when the image is
+    too small to fill the mesh with pixels. Requires spp % n_devices == 0.
+    Bit-identical to the single-device renderer (sample sums are an
+    order-free reduction... up to f32 addition order)."""
+    n_dev = mesh.devices.size
+    assert spp % n_dev == 0, f"spp {spp} must divide across {n_dev} devices"
+    local_spp = spp // n_dev
+    i_flat, j_flat, base_seed = renderer.pixel_grid(width, height, reference_quirk)
+
+    def shard_body(scene, cam, i, j, base):
+        def to_varying(x):
+            if not hasattr(x, "dtype"):
+                return x
+            try:
+                return jax.lax.pcast(x, (AXIS,), to="varying")
+            except AttributeError:
+                return jax.lax.pvary(x, AXIS)
+
+        scene, cam, i, j, base = jax.tree.map(to_varying, (scene, cam, i, j, base))
+        start = jax.lax.axis_index(AXIS) * local_spp
+        part = renderer.render_pixels(
+            scene, cam, i, j, base, local_spp, max_depth,
+            intersector=intersector, chunk=min(chunk, i.shape[0]),
+            sample_start=start,
+        )
+        return jax.lax.psum(part, AXIS)
+
+    fb = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(),
+    )(scene, cam, i_flat, j_flat, base_seed)
+    return fb.reshape(height, width, 3)
+
+
 def scene_grads_sharded(
     scene: Scene,
     cam: camera_mod.CameraData,

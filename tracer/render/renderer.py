@@ -37,8 +37,13 @@ def render_pixels(
     intersector: str = "fast",
     chunk: int = DEFAULT_CHUNK,
     early_exit: bool = False,
+    sample_start: int = 0,
 ):
     """Raw sample sums [N, 3] for a flat list of pixels.
+
+    `sample_start` offsets the sample index range to [start, start+spp)
+    — used by spp-axis sharding (each device takes a disjoint slice of
+    the per-pixel sample stream, reference camera.cu:27-31 semantics).
 
     i_flat/j_flat: [N] u32 pixel column/row; base_seed: [N] u32 per-pixel
     seed (reference camera.cu:25). The pixel axis is processed in
@@ -76,7 +81,9 @@ def render_pixels(
         # zeros_like(i, ...) keeps the shard_map varying-axes type of the
         # pixel batch (a fresh jnp.zeros would be 'unvarying' and clash).
         acc0 = jnp.zeros_like(i, dtype=jnp.float32, shape=(chunk, 3))
-        acc, _ = jax.lax.scan(body, acc0, jnp.arange(spp, dtype=jnp.uint32))
+        # sample_start may be a traced per-device offset (spp sharding)
+        samples = jnp.arange(spp, dtype=jnp.uint32) + jnp.uint32(sample_start)
+        acc, _ = jax.lax.scan(body, acc0, samples)
         return acc
 
     i_c = i_flat.reshape(num_chunks, chunk)
