@@ -90,3 +90,20 @@ def test_diff_megakernel_grads_match_xla():
     v_x, g_x = jax.value_and_grad(loss_xla)(a0)
     np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("k", [8, 16])
+def test_clustered_megakernel_matches_brute(k):
+    scene = _scene()  # 94 spheres + 105 planes
+    w, h = 32, 8
+    cam = _cam(w, h)
+    brute = np.asarray(
+        megakernel.render_frame_pallas(scene, cam, w, h, spp=2, max_depth=4, interpret=True)
+    )
+    clus = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=2, max_depth=4, interpret=True, cluster_k=k
+        )
+    )
+    diff = np.abs(clus - brute).max(axis=-1)
+    assert (diff < 1e-3).mean() > 0.99, f"max {diff.max()}, frac {(diff < 1e-3).mean()}"

@@ -2,22 +2,24 @@
 
 The TPU re-design of the reference CUDA megakernel `render_kernel`
 (src/camera.cu:17-34): one grid step shades a 128-pixel tile end to end
-— spp loop, bounce loop, brute-force intersection and material scatter
-all fused in VMEM with zero HBM round-trips between bounces (SURVEY.md
-§7 stage 5).
+— spp loop, bounce loop, intersection and material scatter all fused in
+VMEM with zero HBM round-trips between bounces (SURVEY.md §7 stage 5).
 
-Layout (all 2D, VPU-native):
-  per-pixel quantities      (1, 128)   f32 / u32 lanes
-  per-(prim x pixel) matrix (Npad, 128) f32
-  scene tables              VMEM-resident, packed host-side:
-    proj  [Npack, 8]  rows = sphere centers ++ plane normals ++ A ++ B
-                      (A = cross(v,w), B = cross(w,u); triple-product
-                      form of plane.h:66-68), xyz padded to 8 cols
-    const [CROWS, Npad] per-primitive scalars (cc_rr / D / baseA / baseB
-                      / ptype / kind)
-    join  [JROWS, Npad] winner-record table (center, radius, normal,
-                      is_sphere + 13 material columns), applied with an
-                      MXU one-hot matmul like tracer.render.hit_fast.
+Two intersection strategies share the bounce/shading code:
+
+  brute     — the whole primitive table every bounce: ray projections as
+              one MXU matmul, ~15 elementwise ops per (prim x pixel),
+              winner record joined with a one-hot matmul (the in-kernel
+              twin of tracer.render.hit_fast).
+  clustered — packet culling (tracer.pallas.cluster): per tile, each
+              cluster AABB is slab-tested against the 128-ray bundle and
+              the whole cluster is skipped with a SCALAR branch when no
+              ray can hit — the TPU-coherent replacement for per-ray BVH
+              stacks (bvh.h:19-65).
+
+Layout (all 2D, VPU-native): per-pixel quantities are (1, 128) rows;
+per-(prim x pixel) work is (K|Npad, 128); the winner record is one
+(JROWS, 128) array so cluster-vs-cluster selection is 3 vreg selects.
 
 The RNG is the same counter-based wang_hash stream as tracer.core.rng —
 bit-identical draws, so kernel output matches the XLA renderer exactly
@@ -31,7 +33,6 @@ handles textured scenes.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +44,7 @@ from tracer.scene.types import Scene, K_INFINITY
 
 TILE = 128  # pixels per grid step
 
-# const-table rows
+# const-table columns (tables are [prims, CROWS])
 C_CCRR = 0  # spheres: |c|^2 - r^2   | planes: D
 C_BASEA = 1  # planes: base . A
 C_BASEB = 2  # planes: base . B
@@ -72,7 +73,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pack_scene(scene: Scene):
-    """Host-side packing of the Scene pytree into kernel tables."""
+    """Host-side packing of the Scene pytree into brute-path tables."""
     sph, pla = scene.spheres, scene.planes
     num_s, num_p = scene.num_spheres, scene.num_planes
     n = num_s + num_p
@@ -91,7 +92,7 @@ def pack_scene(scene: Scene):
     npack = _round_up(proj3.shape[0], 8)
     proj = jnp.zeros((npack, 8), jnp.float32).at[: proj3.shape[0], :3].set(proj3)
 
-    # const table [Npad, CROWS] (transposed so (n, 1) column slices are
+    # const table [Npad, CROWS] (rows = prims so (n, 1) column slices are
     # natural sublane loads in-kernel)
     const = jnp.zeros((n_pad, CROWS), jnp.float32)
     const = const.at[:, C_KIND].set(-1.0)
@@ -123,6 +124,7 @@ def pack_scene(scene: Scene):
         join = join.at[J_NX, sl].set(pla.normal[:, 0])
         join = join.at[J_NY, sl].set(pla.normal[:, 1])
         join = join.at[J_NZ, sl].set(pla.normal[:, 2])
+    join = join.at[J_RAD, n:].set(1.0)
     midx = jnp.concatenate(
         ([sph.material_idx] if num_s else []) + ([pla.material_idx] if num_p else [])
     )
@@ -174,23 +176,339 @@ def _rand_unit_vector(seed):
     return seed, (r * jnp.cos(phi), r * jnp.sin(phi), z)
 
 
+# ----------------------------------------------------------------------
+# intersection strategies: both return (t_best (1,T), rec (JROWS, T))
+# ----------------------------------------------------------------------
+
+
+def _unified_ts(po, pd, const_block, a, od, oo, k):
+    """t per (prim, pixel) for a K-prim block with mixed sphere/plane rows.
+
+    po/pd: (3K, T) projections (K first-vec rows, K A rows, K B rows);
+    const_block: (K, CROWS). Sphere math = sphere.h:24-53, plane math =
+    plane.h:57-96 in triple-product form.
+    """
+    fo, ao, bo = po[0:k], po[k : 2 * k], po[2 * k : 3 * k]
+    fd, ad, bd = pd[0:k], pd[k : 2 * k], pd[2 * k : 3 * k]
+    ccrr_d = const_block[:, C_CCRR : C_CCRR + 1]
+    base_a = const_block[:, C_BASEA : C_BASEA + 1]
+    base_b = const_block[:, C_BASEB : C_BASEB + 1]
+    ptype = const_block[:, C_PTYPE : C_PTYPE + 1]
+    kind = const_block[:, C_KIND : C_KIND + 1]
+
+    # sphere branch (first = center)
+    half_b = od - fd
+    c_term = oo - 2.0 * fo + ccrr_d
+    disc = half_b * half_b - a * c_term
+    s_hit = disc >= 0.0
+    sqrt_d = jnp.sqrt(jnp.where(s_hit, disc, 1.0))
+    inv_a = 1.0 / a
+    t_near = (-half_b - sqrt_d) * inv_a
+    t_far = (-half_b + sqrt_d) * inv_a
+    near_ok = s_hit & (t_near >= T_MIN)
+    far_ok = s_hit & (t_far >= T_MIN)
+    t_s = jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, K_INFINITY))
+
+    # plane branch (first = normal)
+    denom_ok = jnp.abs(fd) >= DENOM_EPS
+    root = (ccrr_d - fo) / jnp.where(denom_ok, fd, 1.0)
+    alpha = ao + root * ad - base_a
+    beta_uv = bo + root * bd - base_b
+    in_quad = (alpha >= 0.0) & (alpha <= 1.0) & (beta_uv >= 0.0) & (beta_uv <= 1.0)
+    in_ell = (alpha - 0.5) ** 2 + (beta_uv - 0.5) ** 2 <= 0.25
+    in_tri = (alpha >= 0.0) & (beta_uv >= 0.0) & (alpha + beta_uv <= 1.0)
+    interior = jnp.where(ptype == 0.0, in_quad, jnp.where(ptype == 1.0, in_ell, in_tri))
+    ok_p = denom_ok & (root >= T_MIN) & interior
+    t_p = jnp.where(ok_p, root, K_INFINITY)
+
+    return jnp.where(kind == 0.0, t_s, jnp.where(kind == 1.0, t_p, K_INFINITY))
+
+
+def _winner_join(t_blk, join_blk, iota_k, k):
+    """Block-best t and its joined record. t_blk (K,T), join_blk (JROWS,K)."""
+    t_best = jnp.min(t_blk, axis=0, keepdims=True)
+    widx = jnp.min(jnp.where(t_blk == t_best, iota_k, k), axis=0, keepdims=True)
+    onehot = (iota_k == widx).astype(jnp.float32)
+    rec = jnp.dot(join_blk, onehot, preferred_element_type=jnp.float32)
+    return t_best, rec
+
+
+def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *, num_s, num_p, n_pad):
+    n = num_s + num_p
+    po = jnp.dot(proj_ref[:], o8, preferred_element_type=jnp.float32)
+    pd = jnp.dot(proj_ref[:], d8, preferred_element_type=jnp.float32)
+
+    t_parts = []
+    if num_s:
+        fo, fd = po[:num_s], pd[:num_s]
+        ccrr = const_ref[:num_s, C_CCRR : C_CCRR + 1]
+        half_b = od - fd
+        c_term = oo - 2.0 * fo + ccrr
+        disc = half_b * half_b - a * c_term
+        s_hit = disc >= 0.0
+        sqrt_d = jnp.sqrt(jnp.where(s_hit, disc, 1.0))
+        inv_a = 1.0 / a
+        t_near = (-half_b - sqrt_d) * inv_a
+        t_far = (-half_b + sqrt_d) * inv_a
+        near_ok = s_hit & (t_near >= T_MIN)
+        far_ok = s_hit & (t_far >= T_MIN)
+        t_parts.append(jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, K_INFINITY)))
+    if num_p:
+        no = po[num_s : num_s + num_p]
+        ao = po[num_s + num_p : num_s + 2 * num_p]
+        bo = po[num_s + 2 * num_p : num_s + 3 * num_p]
+        nd = pd[num_s : num_s + num_p]
+        ad = pd[num_s + num_p : num_s + 2 * num_p]
+        bd = pd[num_s + 2 * num_p : num_s + 3 * num_p]
+        d_pl = const_ref[num_s:n, C_CCRR : C_CCRR + 1]
+        base_a = const_ref[num_s:n, C_BASEA : C_BASEA + 1]
+        base_b = const_ref[num_s:n, C_BASEB : C_BASEB + 1]
+        ptype = const_ref[num_s:n, C_PTYPE : C_PTYPE + 1]
+        denom_ok = jnp.abs(nd) >= DENOM_EPS
+        root = (d_pl - no) / jnp.where(denom_ok, nd, 1.0)
+        alpha = ao + root * ad - base_a
+        beta_uv = bo + root * bd - base_b
+        in_quad = (alpha >= 0.0) & (alpha <= 1.0) & (beta_uv >= 0.0) & (beta_uv <= 1.0)
+        in_ell = (alpha - 0.5) ** 2 + (beta_uv - 0.5) ** 2 <= 0.25
+        in_tri = (alpha >= 0.0) & (beta_uv >= 0.0) & (alpha + beta_uv <= 1.0)
+        interior = jnp.where(ptype == 0.0, in_quad, jnp.where(ptype == 1.0, in_ell, in_tri))
+        ok = denom_ok & (root >= T_MIN) & interior
+        t_parts.append(jnp.where(ok, root, K_INFINITY))
+    if n_pad > n:
+        t_parts.append(jnp.full((n_pad - n, TILE), K_INFINITY, jnp.float32))
+    t_all = jnp.concatenate(t_parts, axis=0) if len(t_parts) > 1 else t_parts[0]
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+    return _winner_join(t_all, join_ref[:], iota_n, n_pad)
+
+
+def _intersect_clustered(
+    proj_ref, const_ref, join_ref, cbox_ref, o8, d8, a, od, oo,
+    ox, oy, oz, dx, dy, dz, *, num_clusters, k,
+):
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+
+    # guarded inverse direction for the slab test
+    eps = 1e-30
+    sdx = jnp.where(jnp.abs(dx) < eps, jnp.where(dx < 0, -eps, eps), dx)
+    sdy = jnp.where(jnp.abs(dy) < eps, jnp.where(dy < 0, -eps, eps), dy)
+    sdz = jnp.where(jnp.abs(dz) < eps, jnp.where(dz < 0, -eps, eps), dz)
+    ivx, ivy, ivz = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
+
+    def body(c, carry):
+        t_glob, rec_glob = carry
+        # cluster AABB scalars (SMEM)
+        lox, loy, loz = cbox_ref[c, 0], cbox_ref[c, 1], cbox_ref[c, 2]
+        hix, hiy, hiz = cbox_ref[c, 3], cbox_ref[c, 4], cbox_ref[c, 5]
+        # branchless slab vs the 128-ray bundle (aabb.h:42-65)
+        tx1 = (lox - ox) * ivx
+        tx2 = (hix - ox) * ivx
+        ty1 = (loy - oy) * ivy
+        ty2 = (hiy - oy) * ivy
+        tz1 = (loz - oz) * ivz
+        tz2 = (hiz - oz) * ivz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+            jnp.maximum(jnp.minimum(tz1, tz2), T_MIN),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+            jnp.minimum(jnp.maximum(tz1, tz2), K_INFINITY),
+        )
+        any_hit = jnp.any(tmax > tmin)
+
+        def visit():
+            po = jnp.dot(
+                proj_ref[pl.ds(c * 3 * k, 3 * k)], o8,
+                preferred_element_type=jnp.float32,
+            )
+            pd = jnp.dot(
+                proj_ref[pl.ds(c * 3 * k, 3 * k)], d8,
+                preferred_element_type=jnp.float32,
+            )
+            cb = const_ref[pl.ds(c * k, k), :]
+            t_blk = _unified_ts(po, pd, cb, a, od, oo, k)
+            jb = join_ref[:, pl.ds(c * k, k)]
+            t_c, rec_c = _winner_join(t_blk, jb, iota_k, k)
+            better = t_c < t_glob
+            return (
+                jnp.where(better, t_c, t_glob),
+                jnp.where(better, rec_c, rec_glob),
+            )
+
+        return jax.lax.cond(any_hit, visit, lambda: (t_glob, rec_glob))
+
+    t0 = jnp.full((1, TILE), K_INFINITY, jnp.float32)
+    rec0 = jnp.zeros((JROWS, TILE), jnp.float32).at[J_RAD].set(1.0)
+    return jax.lax.fori_loop(0, num_clusters, body, (t0, rec0))
+
+
+# ----------------------------------------------------------------------
+# shared shading / scatter (materials.h:70-140 with the fixed 8-draw
+# budget of tracer.materials.scatter)
+# ----------------------------------------------------------------------
+
+
+def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg):
+    bgr, bgg, bgb = bg
+    hit = t_best < K_INFINITY
+    cx, cy, cz, rad = (
+        rec[J_CX : J_CX + 1], rec[J_CY : J_CY + 1],
+        rec[J_CZ : J_CZ + 1], rec[J_RAD : J_RAD + 1],
+    )
+    pnx, pny, pnz = rec[J_NX : J_NX + 1], rec[J_NY : J_NY + 1], rec[J_NZ : J_NZ + 1]
+    is_sph = rec[J_ISSPH : J_ISSPH + 1] > 0.5
+    mtype = rec[J_MTYPE : J_MTYPE + 1]
+    fuzz = rec[J_FUZZ : J_FUZZ + 1]
+    ir = rec[J_IR : J_IR + 1]
+    ab0, ab1, ab2 = rec[J_ABS0 : J_ABS0 + 1], rec[J_ABS1 : J_ABS1 + 1], rec[J_ABS2 : J_ABS2 + 1]
+    al0, al1, al2 = rec[J_ALB0 : J_ALB0 + 1], rec[J_ALB1 : J_ALB1 + 1], rec[J_ALB2 : J_ALB2 + 1]
+    em0, em1, em2 = rec[J_EMI0 : J_EMI0 + 1], rec[J_EMI1 : J_EMI1 + 1], rec[J_EMI2 : J_EMI2 + 1]
+
+    t_calc = jnp.where(hit, t_best, 1.0)
+    px = ox + t_calc * dx
+    py = oy + t_calc * dy
+    pz = oz + t_calc * dz
+    inv_rad = 1.0 / rad
+    onx = jnp.where(is_sph, (px - cx) * inv_rad, pnx)
+    ony = jnp.where(is_sph, (py - cy) * inv_rad, pny)
+    onz = jnp.where(is_sph, (pz - cz) * inv_rad, pnz)
+    dn = dx * onx + dy * ony + dz * onz
+    front = dn < 0.0
+    sgn = jnp.where(front, 1.0, -1.0)
+    nx, ny, nz = onx * sgn, ony * sgn, onz * sgn
+
+    # miss -> background (camera.cu:226-229)
+    miss = alive & ~hit
+    f0, f1, f2 = final
+    b0, b1, b2 = beta
+    f0 = f0 + jnp.where(miss, b0 * bgr, 0.0)
+    f1 = f1 + jnp.where(miss, b1 * bgg, 0.0)
+    f2 = f2 + jnp.where(miss, b2 * bgb, 0.0)
+    active = alive & hit
+
+    # emission (camera.cu:237-238)
+    f0 = f0 + jnp.where(active, b0 * em0, 0.0)
+    f1 = f1 + jnp.where(active, b1 * em1, 0.0)
+    f2 = f2 + jnp.where(active, b2 * em2, 0.0)
+
+    # fixed 8-draw scatter
+    seed, u_choice = _rand(seed)
+    seed, (hx, hy, hz) = _rand_unit_vector(seed)
+    hdotn = hx * nx + hy * ny + hz * nz
+    hsgn = jnp.where(hdotn > 0.0, 1.0, -1.0)
+    hx, hy, hz = hx * hsgn, hy * hsgn, hz * hsgn  # hemisphere
+    seed, (ballx, bally, ballz) = _rand_unit_vector(seed)
+    seed, u_ball = _rand(seed)
+    br = jnp.cbrt(u_ball)
+    ballx, bally, ballz = ballx * br, bally * br, ballz * br
+    seed, u_refl = _rand(seed)
+    seed, u_rr = _rand(seed)
+
+    inv_dlen = jax.lax.rsqrt(jnp.maximum(a, 1e-30))
+    udx, udy, udz = dx * inv_dlen, dy * inv_dlen, dz * inv_dlen
+
+    hemi_nz = (jnp.abs(hx) >= 1e-8) | (jnp.abs(hy) >= 1e-8) | (jnp.abs(hz) >= 1e-8)
+    lamx = jnp.where(hemi_nz, hx, nx)
+    lamy = jnp.where(hemi_nz, hy, ny)
+    lamz = jnp.where(hemi_nz, hz, nz)
+
+    uddn = udx * nx + udy * ny + udz * nz
+    rx = udx - 2.0 * uddn * nx + fuzz * ballx
+    ry = udy - 2.0 * uddn * ny + fuzz * bally
+    rz = udz - 2.0 * uddn * nz + fuzz * ballz
+    spec = u_choice < 0.8
+    metx = jnp.where(spec, rx, lamx)
+    mety = jnp.where(spec, ry, lamy)
+    metz = jnp.where(spec, rz, lamz)
+    met_ok = jnp.where(spec, rx * nx + ry * ny + rz * nz > 0.0, True)
+
+    ratio = jnp.where(front, 1.0 / ir, ir)
+    cos_t = jnp.minimum(-uddn, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    cannot = ratio * sin_t > 1.0
+    r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
+    refl_p = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+    choose_refl = cannot | (refl_p > u_refl)
+    perp_x = ratio * (udx + cos_t * nx)
+    perp_y = ratio * (udy + cos_t * ny)
+    perp_z = ratio * (udz + cos_t * nz)
+    perp2 = perp_x * perp_x + perp_y * perp_y + perp_z * perp_z
+    par = -jnp.sqrt(jnp.abs(1.0 - perp2))
+    reflx = udx - 2.0 * uddn * nx
+    refly = udy - 2.0 * uddn * ny
+    reflz = udz - 2.0 * uddn * nz
+    diex = jnp.where(choose_refl, reflx, perp_x + par * nx)
+    diey = jnp.where(choose_refl, refly, perp_y + par * ny)
+    diez = jnp.where(choose_refl, reflz, perp_z + par * nz)
+    dist = jnp.sqrt((px - ox) ** 2 + (py - oy) ** 2 + (pz - oz) ** 2)
+    tr0 = jnp.where(front, 1.0, jnp.exp(-ab0 * dist))
+    tr1 = jnp.where(front, 1.0, jnp.exp(-ab1 * dist))
+    tr2 = jnp.where(front, 1.0, jnp.exp(-ab2 * dist))
+    p_rr = jnp.maximum(tr0, jnp.maximum(tr1, tr2))
+    die_ok = u_rr <= p_rr
+    inv_p = 1.0 / jnp.maximum(p_rr, 1e-30)
+    da0, da1, da2 = tr0 * inv_p, tr1 * inv_p, tr2 * inv_p
+    die_sgn = jnp.where(diex * nx + diey * ny + diez * nz > 0.0, 1e-4, -1e-4)
+    die_ox = px + nx * die_sgn
+    die_oy = py + ny * die_sgn
+    die_oz = pz + nz * die_sgn
+
+    is_lam = mtype == 0.0
+    is_met = mtype == 1.0
+    is_die = mtype == 2.0
+    ndx = jnp.where(is_lam, lamx, jnp.where(is_met, metx, diex))
+    ndy = jnp.where(is_lam, lamy, jnp.where(is_met, mety, diey))
+    ndz = jnp.where(is_lam, lamz, jnp.where(is_met, metz, diez))
+    nox = jnp.where(is_die, die_ox, px)
+    noy = jnp.where(is_die, die_oy, py)
+    noz = jnp.where(is_die, die_oz, pz)
+    at0 = jnp.where(is_die, da0, al0)
+    at1 = jnp.where(is_die, da1, al1)
+    at2 = jnp.where(is_die, da2, al2)
+    ok = jnp.where(
+        is_lam, True, jnp.where(is_met, met_ok, jnp.where(is_die, die_ok, False))
+    )
+
+    live = active & ok
+    b0 = jnp.where(live, b0 * at0, b0)
+    b1 = jnp.where(live, b1 * at1, b1)
+    b2 = jnp.where(live, b2 * at2, b2)
+    ox = jnp.where(live, nox, ox)
+    oy = jnp.where(live, noy, oy)
+    oz = jnp.where(live, noz, oz)
+    dx = jnp.where(live, ndx, dx)
+    dy = jnp.where(live, ndy, dy)
+    dz = jnp.where(live, ndz, dz)
+    return (ox, oy, oz), (dx, dy, dz), (b0, b1, b2), (f0, f1, f2), seed, live
+
+
+# ----------------------------------------------------------------------
+# the kernel
+# ----------------------------------------------------------------------
+
+
 def _kernel(
     params_ref,  # SMEM [1, 24] f32: camera + background
-    proj_ref,  # VMEM [Npack, 8]
-    const_ref,  # VMEM [CROWS, Npad]
-    join_ref,  # VMEM [JROWS, Npad]
-    out_ref,  # VMEM [3, TILE]
-    *,
+    *refs,
+    clustered: bool,
     num_s: int,
     num_p: int,
     n_pad: int,
-    npack: int,
+    num_clusters: int,
+    k: int,
     spp: int,
     max_depth: int,
     width: int,
     num_pixels: int,
     quirk: bool,
 ):
+    if clustered:
+        cbox_ref, proj_ref, const_ref, join_ref, out_ref = refs
+    else:
+        proj_ref, const_ref, join_ref, out_ref = refs
+        cbox_ref = None
+
     pid = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
     lin = pid * TILE + lane
@@ -199,22 +517,17 @@ def _kernel(
     i_px = (lin % width).astype(jnp.float32)  # column
     j_px = (lin // width).astype(jnp.float32)  # row
 
-    # camera params
-    p = [params_ref[0, k] for k in range(20)]
+    p = [params_ref[0, idx] for idx in range(15)]
     (ox0, oy0, oz0, p00x, p00y, p00z, dux, duy, duz, dvx, dvy, dvz,
-     bgr, bgg, bgb, *_rest) = p
+     bgr, bgg, bgb) = p
 
     iu = lin.astype(_U)
     wu = _U(width)
     base_lin = (i_px.astype(_U) * wu + j_px.astype(_U)) if quirk else iu
     base_seed = _wang_hash(base_lin)
 
-    n = num_s + num_p
-    prim_iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
-
     def one_sample(s, acc):
         seed = _wang_hash(base_seed + s.astype(_U))
-        # get_ray (camera.cuh:97-109): two draws, x then y
         seed, ux = _rand(seed)
         seed, uy = _rand(seed)
         offx = ux - 0.5
@@ -231,228 +544,37 @@ def _kernel(
 
         beta = (jnp.ones_like(dx), jnp.ones_like(dx), jnp.ones_like(dx))
         final = (jnp.zeros_like(dx), jnp.zeros_like(dx), jnp.zeros_like(dx))
-        alive = valid
 
         def cond(st):
-            depth = st[0]
-            alive = st[7]
-            return (depth < max_depth) & jnp.any(alive)
+            return (st[0] < max_depth) & jnp.any(st[6])
 
         def bounce(st):
-            depth, (ox, oy, oz), (dx, dy, dz), beta, final, seed, _, alive = (
-                st[0], st[1], st[2], st[3], st[4], st[5], st[6], st[7],
-            )
+            depth, (ox, oy, oz), (dx, dy, dz), beta, final, seed, alive = st
 
-            # ---- intersect: o/d projections against the packed matrix --
-            o8 = jnp.concatenate(
-                [ox, oy, oz, jnp.zeros((5, TILE), jnp.float32)], axis=0
-            )  # [8, TILE]
-            d8 = jnp.concatenate(
-                [dx, dy, dz, jnp.zeros((5, TILE), jnp.float32)], axis=0
-            )
-            po = jnp.dot(proj_ref[:], o8, preferred_element_type=jnp.float32)
-            pd = jnp.dot(proj_ref[:], d8, preferred_element_type=jnp.float32)
-
-            a = dx * dx + dy * dy + dz * dz  # (1, TILE)
+            o8 = jnp.concatenate([ox, oy, oz, jnp.zeros((5, TILE), jnp.float32)], axis=0)
+            d8 = jnp.concatenate([dx, dy, dz, jnp.zeros((5, TILE), jnp.float32)], axis=0)
+            a = dx * dx + dy * dy + dz * dz
             od = ox * dx + oy * dy + oz * dz
             oo = ox * ox + oy * oy + oz * oz
 
-            t_parts = []
-            if num_s:
-                co = po[:num_s]
-                cd = pd[:num_s]
-                cc_rr = const_ref[:num_s, C_CCRR:C_CCRR + 1]
-                half_b = od - cd
-                c_term = oo - 2.0 * co + cc_rr
-                disc = half_b * half_b - a * c_term
-                s_hit = disc >= 0.0
-                sqrt_d = jnp.sqrt(jnp.where(s_hit, disc, 1.0))
-                inv_a = 1.0 / a
-                t_near = (-half_b - sqrt_d) * inv_a
-                t_far = (-half_b + sqrt_d) * inv_a
-                near_ok = s_hit & (t_near >= T_MIN)
-                far_ok = s_hit & (t_far >= T_MIN)
-                t_parts.append(
-                    jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, K_INFINITY))
+            if clustered:
+                t_best, rec = _intersect_clustered(
+                    proj_ref, const_ref, join_ref, cbox_ref, o8, d8, a, od, oo,
+                    ox, oy, oz, dx, dy, dz, num_clusters=num_clusters, k=k,
                 )
-            if num_p:
-                no = po[num_s : num_s + num_p]
-                ao = po[num_s + num_p : num_s + 2 * num_p]
-                bo = po[num_s + 2 * num_p : num_s + 3 * num_p]
-                nd = pd[num_s : num_s + num_p]
-                ad = pd[num_s + num_p : num_s + 2 * num_p]
-                bd = pd[num_s + 2 * num_p : num_s + 3 * num_p]
-                d_plane = const_ref[num_s:n, C_CCRR:C_CCRR + 1]
-                base_a = const_ref[num_s:n, C_BASEA:C_BASEA + 1]
-                base_b = const_ref[num_s:n, C_BASEB:C_BASEB + 1]
-                ptype = const_ref[num_s:n, C_PTYPE:C_PTYPE + 1]
-                denom_ok = jnp.abs(nd) >= DENOM_EPS
-                root = (d_plane - no) / jnp.where(denom_ok, nd, 1.0)
-                alpha = ao + root * ad - base_a
-                beta_uv = bo + root * bd - base_b
-                in_quad = (alpha >= 0.0) & (alpha <= 1.0) & (beta_uv >= 0.0) & (beta_uv <= 1.0)
-                in_ell = (alpha - 0.5) ** 2 + (beta_uv - 0.5) ** 2 <= 0.25
-                in_tri = (alpha >= 0.0) & (beta_uv >= 0.0) & (alpha + beta_uv <= 1.0)
-                interior = jnp.where(
-                    ptype == 0.0, in_quad, jnp.where(ptype == 1.0, in_ell, in_tri)
+            else:
+                t_best, rec = _intersect_brute(
+                    proj_ref, const_ref, join_ref, o8, d8, a, od, oo,
+                    num_s=num_s, num_p=num_p, n_pad=n_pad,
                 )
-                ok = denom_ok & (root >= T_MIN) & interior
-                t_parts.append(jnp.where(ok, root, K_INFINITY))
 
-            if n_pad > n:
-                t_parts.append(jnp.full((n_pad - n, TILE), K_INFINITY, jnp.float32))
-            t_all = jnp.concatenate(t_parts, axis=0) if len(t_parts) > 1 else t_parts[0]
-            t_best = jnp.min(t_all, axis=0, keepdims=True)  # (1, TILE)
-            hit = t_best < K_INFINITY
-            # first-match winner (ties resolved to the lowest index, like
-            # the argmin in hit_fast)
-            widx = jnp.min(
-                jnp.where(t_all == t_best, prim_iota, n_pad), axis=0, keepdims=True
+            o3, d3, beta, final, seed, alive = _shade(
+                rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed,
+                alive, (bgr, bgg, bgb),
             )
-            onehot = (prim_iota == widx).astype(jnp.float32)  # (Npad, TILE)
-            rec = jnp.dot(join_ref[:], onehot, preferred_element_type=jnp.float32)
+            return (depth + 1, o3, d3, beta, final, seed, alive)
 
-            cx, cy, cz, rad = rec[J_CX : J_CX + 1], rec[J_CY : J_CY + 1], rec[J_CZ : J_CZ + 1], rec[J_RAD : J_RAD + 1]
-            pnx, pny, pnz = rec[J_NX : J_NX + 1], rec[J_NY : J_NY + 1], rec[J_NZ : J_NZ + 1]
-            is_sph = rec[J_ISSPH : J_ISSPH + 1] > 0.5
-            mtype = rec[J_MTYPE : J_MTYPE + 1]
-            fuzz = rec[J_FUZZ : J_FUZZ + 1]
-            ir = rec[J_IR : J_IR + 1]
-            ab0, ab1, ab2 = rec[J_ABS0 : J_ABS0 + 1], rec[J_ABS1 : J_ABS1 + 1], rec[J_ABS2 : J_ABS2 + 1]
-            al0, al1, al2 = rec[J_ALB0 : J_ALB0 + 1], rec[J_ALB1 : J_ALB1 + 1], rec[J_ALB2 : J_ALB2 + 1]
-            em0, em1, em2 = rec[J_EMI0 : J_EMI0 + 1], rec[J_EMI1 : J_EMI1 + 1], rec[J_EMI2 : J_EMI2 + 1]
-
-            t_calc = jnp.where(hit, t_best, 1.0)
-            px = ox + t_calc * dx
-            py = oy + t_calc * dy
-            pz = oz + t_calc * dz
-            inv_rad = 1.0 / rad
-            onx = jnp.where(is_sph, (px - cx) * inv_rad, pnx)
-            ony = jnp.where(is_sph, (py - cy) * inv_rad, pny)
-            onz = jnp.where(is_sph, (pz - cz) * inv_rad, pnz)
-            dn = dx * onx + dy * ony + dz * onz
-            front = dn < 0.0
-            sgn = jnp.where(front, 1.0, -1.0)
-            nx, ny, nz = onx * sgn, ony * sgn, onz * sgn
-
-            # miss -> background (camera.cu:226-229)
-            miss = alive & ~hit
-            f0, f1, f2 = final
-            b0, b1, b2 = beta
-            f0 = f0 + jnp.where(miss, b0 * bgr, 0.0)
-            f1 = f1 + jnp.where(miss, b1 * bgg, 0.0)
-            f2 = f2 + jnp.where(miss, b2 * bgb, 0.0)
-            active = alive & hit
-
-            # emission (camera.cu:237-238)
-            f0 = f0 + jnp.where(active, b0 * em0, 0.0)
-            f1 = f1 + jnp.where(active, b1 * em1, 0.0)
-            f2 = f2 + jnp.where(active, b2 * em2, 0.0)
-
-            # ---- scatter (materials.h:70-140; fixed 8-draw budget) -----
-            seed, u_choice = _rand(seed)
-            seed, (hx, hy, hz) = _rand_unit_vector(seed)
-            hdotn = hx * nx + hy * ny + hz * nz
-            hsgn = jnp.where(hdotn > 0.0, 1.0, -1.0)
-            hx, hy, hz = hx * hsgn, hy * hsgn, hz * hsgn  # hemisphere
-            seed, (ballx, bally, ballz) = _rand_unit_vector(seed)
-            seed, u_ball = _rand(seed)
-            br = jnp.cbrt(u_ball)
-            ballx, bally, ballz = ballx * br, bally * br, ballz * br
-            seed, u_refl = _rand(seed)
-            seed, u_rr = _rand(seed)
-
-            inv_dlen = jax.lax.rsqrt(jnp.maximum(a, 1e-30))
-            udx, udy, udz = dx * inv_dlen, dy * inv_dlen, dz * inv_dlen
-
-            hemi_nz = (jnp.abs(hx) >= 1e-8) | (jnp.abs(hy) >= 1e-8) | (jnp.abs(hz) >= 1e-8)
-            lamx = jnp.where(hemi_nz, hx, nx)
-            lamy = jnp.where(hemi_nz, hy, ny)
-            lamz = jnp.where(hemi_nz, hz, nz)
-
-            uddn = udx * nx + udy * ny + udz * nz
-            rx = udx - 2.0 * uddn * nx + fuzz * ballx
-            ry = udy - 2.0 * uddn * ny + fuzz * bally
-            rz = udz - 2.0 * uddn * nz + fuzz * ballz
-            spec = u_choice < 0.8
-            metx = jnp.where(spec, rx, lamx)
-            mety = jnp.where(spec, ry, lamy)
-            metz = jnp.where(spec, rz, lamz)
-            met_ok = jnp.where(spec, rx * nx + ry * ny + rz * nz > 0.0, True)
-
-            ratio = jnp.where(front, 1.0 / ir, ir)
-            cos_t = jnp.minimum(-uddn, 1.0)
-            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-            cannot = ratio * sin_t > 1.0
-            r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
-            refl_p = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
-            choose_refl = cannot | (refl_p > u_refl)
-            # refract (vec3.h:65-70)
-            perp_x = ratio * (udx + cos_t * nx)
-            perp_y = ratio * (udy + cos_t * ny)
-            perp_z = ratio * (udz + cos_t * nz)
-            perp2 = perp_x * perp_x + perp_y * perp_y + perp_z * perp_z
-            par = -jnp.sqrt(jnp.abs(1.0 - perp2))
-            refr_x = perp_x + par * nx
-            refr_y = perp_y + par * ny
-            refr_z = perp_z + par * nz
-            reflx = udx - 2.0 * uddn * nx
-            refly = udy - 2.0 * uddn * ny
-            reflz = udz - 2.0 * uddn * nz
-            diex = jnp.where(choose_refl, reflx, refr_x)
-            diey = jnp.where(choose_refl, refly, refr_y)
-            diez = jnp.where(choose_refl, reflz, refr_z)
-            dist = jnp.sqrt(
-                (px - ox) ** 2 + (py - oy) ** 2 + (pz - oz) ** 2
-            )
-            tr0 = jnp.where(front, 1.0, jnp.exp(-ab0 * dist))
-            tr1 = jnp.where(front, 1.0, jnp.exp(-ab1 * dist))
-            tr2 = jnp.where(front, 1.0, jnp.exp(-ab2 * dist))
-            p_rr = jnp.maximum(tr0, jnp.maximum(tr1, tr2))
-            die_ok = u_rr <= p_rr
-            inv_p = 1.0 / jnp.maximum(p_rr, 1e-30)
-            da0, da1, da2 = tr0 * inv_p, tr1 * inv_p, tr2 * inv_p
-            die_sgn = jnp.where(diex * nx + diey * ny + diez * nz > 0.0, 1e-4, -1e-4)
-            die_ox = px + nx * die_sgn
-            die_oy = py + ny * die_sgn
-            die_oz = pz + nz * die_sgn
-
-            is_lam = mtype == 0.0
-            is_met = mtype == 1.0
-            is_die = mtype == 2.0
-            ndx = jnp.where(is_lam, lamx, jnp.where(is_met, metx, diex))
-            ndy = jnp.where(is_lam, lamy, jnp.where(is_met, mety, diey))
-            ndz = jnp.where(is_lam, lamz, jnp.where(is_met, metz, diez))
-            nox = jnp.where(is_die, die_ox, px)
-            noy = jnp.where(is_die, die_oy, py)
-            noz = jnp.where(is_die, die_oz, pz)
-            at0 = jnp.where(is_die, da0, al0)
-            at1 = jnp.where(is_die, da1, al1)
-            at2 = jnp.where(is_die, da2, al2)
-            ok = jnp.where(
-                is_lam, True, jnp.where(is_met, met_ok, jnp.where(is_die, die_ok, False))
-            )
-
-            live = active & ok
-            b0 = jnp.where(live, b0 * at0, b0)
-            b1 = jnp.where(live, b1 * at1, b1)
-            b2 = jnp.where(live, b2 * at2, b2)
-            ox = jnp.where(live, nox, ox)
-            oy = jnp.where(live, noy, oy)
-            oz = jnp.where(live, noz, oz)
-            dx = jnp.where(live, ndx, dx)
-            dy = jnp.where(live, ndy, dy)
-            dz = jnp.where(live, ndz, dz)
-
-            return (
-                depth + 1, (ox, oy, oz), (dx, dy, dz), (b0, b1, b2),
-                (f0, f1, f2), seed, st[6], live,
-            )
-
-        st = (
-            jnp.int32(0), (ox, oy, oz), (dx, dy, dz), beta, final, seed,
-            jnp.int32(0), alive,
-        )
+        st = (jnp.int32(0), (ox, oy, oz), (dx, dy, dz), beta, final, seed, valid)
         st = jax.lax.while_loop(cond, bounce, st)
         f0, f1, f2 = st[4]
         a0, a1, a2 = acc
@@ -469,10 +591,6 @@ def _kernel(
     out_ref[2:3, :] = acc[2]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "reference_quirk", "interpret"),
-)
 def render_frame_pallas(
     scene: Scene,
     cam,
@@ -482,15 +600,21 @@ def render_frame_pallas(
     max_depth: int,
     reference_quirk: bool = True,
     interpret: bool = False,
+    cluster_k: int = 0,
 ):
     """Render one frame with the fused megakernel.
 
-    Returns [height, width, 3] raw sample sums — same contract (and same
-    RNG streams) as renderer.render_frame.
+    cluster_k = 0 runs the brute-force strategy; > 0 enables packet
+    culling with K-primitive clusters. Returns [height, width, 3] raw
+    sample sums — same contract (and same RNG streams) as
+    renderer.render_frame.
+
+    Not wrapped in jax.jit: clustering is host-side NumPy (it must see
+    concrete scene arrays), and pallas_call compiles the kernel either
+    way. The brute path (cluster_k=0) is trace-safe and may be called
+    from inside jit (tracer.pallas.diff does).
     """
     assert scene.textures is None, "megakernel: textured scenes use the XLA path"
-    proj, const, join, num_s, num_p, n_pad, npack = pack_scene(scene)
-
     num_pixels = width * height
     grid = (num_pixels + TILE - 1) // TILE
 
@@ -505,31 +629,58 @@ def render_frame_pallas(
         ]
     ).reshape(1, 24)
 
-    kernel = functools.partial(
-        _kernel,
-        num_s=num_s,
-        num_p=num_p,
-        n_pad=n_pad,
-        npack=npack,
+    common = dict(
         spp=spp,
         max_depth=max_depth,
         width=width,
         num_pixels=num_pixels,
         quirk=reference_quirk,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[
+
+    if cluster_k > 0:
+        from tracer.pallas import cluster as cluster_mod
+
+        tables = cluster_mod.pack_clustered(scene, k=cluster_k)
+        kernel = functools.partial(
+            _kernel,
+            clustered=True,
+            num_s=0, num_p=0, n_pad=0,
+            num_clusters=tables["num_clusters"], k=tables["k"],
+            **common,
+        )
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cboxes
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # proj
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # const
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # join
+        ]
+        inputs = (params, tables["cboxes"], tables["proj"], tables["const"], tables["join"])
+    else:
+        proj, const, join, num_s, num_p, n_pad, _ = pack_scene(scene)
+        kernel = functools.partial(
+            _kernel,
+            clustered=False,
+            num_s=num_s, num_p=num_p, n_pad=n_pad,
+            num_clusters=0, k=0,
+            **common,
+        )
+        in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        ]
+        inputs = (params, proj, const, join)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((3, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, grid * TILE), jnp.float32),
         interpret=interpret,
-    )(params, proj, const, join)
+    )(*inputs)
 
     fb = out[:, :num_pixels]  # [3, N]
     return jnp.transpose(fb).reshape(height, width, 3)
