@@ -25,8 +25,6 @@ WIDTH, HEIGHT, SPP, DEPTH = 800, 600, 32, 50
 
 
 def main() -> int:
-    import numpy as np  # noqa: F401
-
     from tracer.render import camera as camera_mod
     from tracer.render import renderer
     from tracer.scene import builders, config

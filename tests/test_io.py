@@ -3,7 +3,6 @@
 import io
 
 import numpy as np
-import pytest
 
 from tracer.io import image as img
 from tracer.io import texture as tex

@@ -3,7 +3,6 @@
 import numpy as np
 import jax.numpy as jnp
 
-from tracer.core import vec
 from tracer.materials import scatter as S
 from tracer.materials import texture as TX
 from tracer.scene import types as T

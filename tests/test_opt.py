@@ -1,7 +1,6 @@
 """Inverse-rendering fit: loss descends, checkpoints resume exactly."""
 
 import numpy as np
-import jax.numpy as jnp
 
 from tracer.opt import fit as fit_mod
 from tracer.render import camera as C

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from tracer.core import vec
-from tracer.scene.types import ELLIPSE, K_INFINITY, QUAD, TRIANGLE
+from tracer.scene.types import ELLIPSE, K_INFINITY, QUAD
 
 DENOM_EPS = 1e-8  # reference plane.h:59
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from tracer.core import rng, vec
-from tracer.scene.types import DIELECTRIC, DIFFUSE_LIGHT, LAMBERTIAN, METAL
+from tracer.scene.types import DIELECTRIC, LAMBERTIAN, METAL
 
 METAL_SPECULAR_P = 0.8  # materials.h:82 (p_metal)
 DIELECTRIC_OFFSET = 1e-4  # materials.h:127

@@ -25,7 +25,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from tracer.core import vec
 from tracer.geometry import aabb as aabb_mod
 from tracer.scene.types import Scene
 

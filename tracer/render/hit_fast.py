@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from tracer.core import vec
 from tracer.geometry import plane as plane_mod
 from tracer.geometry import sphere as sphere_mod
-from tracer.scene.types import ELLIPSE, K_INFINITY, QUAD, Scene
+from tracer.scene.types import K_INFINITY, Scene
 
 T_MIN = 1e-3
 T_MAX = 1e30
