@@ -1,0 +1,92 @@
+"""Frame driver: camera path math, TSV output, CLI subprocess smoke."""
+
+import io
+import math
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tracer.render import camera as C
+from tracer.render import driver
+from tracer.scene import builders, config
+from tracer.scene.params import CameraPathParams
+
+
+class TestCameraPath:
+    def test_sinusoidal_cylindrical(self):
+        # reference src/camera.cu:303-315
+        p = CameraPathParams(
+            rc0=15.0, zc0=4.5, phic0=math.pi, arc=2.0, azc=1.0,
+            wrc=1.0, wzc=2.0, wc=1.0, prc=0.5, pzc=-1.57,
+            rn0=1.0, zn0=4.5, phin0=0.0, arn=0.0, azn=0.0,
+            wrn=0.0, wzn=0.0, wn=0.0, prn=0.0, pzn=0.0,
+        )
+        n, num = 7, 100
+        lookfrom, lookat = C.camera_path_position(p, n, num)
+        t = (n / num) * 2.0 * math.pi
+        r_c = 15.0 + 2.0 * math.sin(1.0 * t + 0.5)
+        z_c = 4.5 + 1.0 * math.sin(2.0 * t - 1.57)
+        phi_c = math.pi + 1.0 * t
+        want_from = [r_c * math.cos(phi_c), r_c * math.sin(phi_c), z_c]
+        np.testing.assert_allclose(np.asarray(lookfrom), want_from, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(lookat), [1.0, 0.0, 4.5], atol=1e-6)
+
+    def test_frame_zero_matches_initial_phase(self):
+        p = CameraPathParams(rc0=10.0, phic0=0.0, zc0=2.0)
+        lookfrom, _ = C.camera_path_position(p, 0, 50)
+        np.testing.assert_allclose(np.asarray(lookfrom), [10.0, 0.0, 2.0], atol=1e-6)
+
+
+class TestAnimationDriver:
+    def test_tsv_and_files(self, tmp_path):
+        params = config.read_scene_params(io.StringIO(config.smoke_config_text()))
+        params.width, params.height = 16, 8
+        params.num_frames = 2
+        params.render.sqrt_rays_per_pixel = 1
+        params.render.max_depth = 2
+        params.output_path = str(tmp_path / "f_%d.bin")
+        scene = builders.create_scene(params, texture_loader=lambda _: None)
+        out = io.StringIO()
+        driver.render_animation(scene, params, out=out)
+        lines = [l for l in out.getvalue().splitlines() if l]
+        assert len(lines) == 2
+        for n, line in enumerate(lines):
+            f, ms, rays = line.split("\t")
+            assert int(f) == n and float(ms) > 0
+            assert int(rays) == 16 * 8 * 1  # total_rays (camera.cu:344-345)
+        assert os.path.exists(tmp_path / "f_0.bin")
+        assert os.path.exists(tmp_path / "f_1.bin")
+
+    def test_frames_subset(self, tmp_path):
+        params = config.read_scene_params(io.StringIO(config.smoke_config_text()))
+        params.width, params.height = 8, 8
+        params.num_frames = 10
+        params.render.sqrt_rays_per_pixel = 1
+        params.render.max_depth = 2
+        params.output_path = str(tmp_path / "g_%d.bin")
+        scene = builders.create_scene(params, texture_loader=lambda _: None)
+        driver.render_animation(scene, params, frames=[3, 7], out=io.StringIO())
+        assert sorted(os.listdir(tmp_path)) == ["g_3.bin", "g_7.bin"]
+
+
+@pytest.mark.slow
+class TestCliSubprocess:
+    def test_default_emitter(self):
+        r = subprocess.run(
+            [sys.executable, "-m", "tracer.cli", "--default"],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert r.returncode == 0
+        p = config.read_scene_params(io.StringIO(r.stdout))
+        assert p.num_frames == 100
+
+    def test_bad_config_exit_2(self):
+        r = subprocess.run(
+            [sys.executable, "-m", "tracer.cli", "--cpu"],
+            input="1 bad", capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 2
+        assert "bad config" in r.stderr
