@@ -107,3 +107,27 @@ def test_clustered_megakernel_matches_brute(k):
     )
     diff = np.abs(clus - brute).max(axis=-1)
     assert (diff < 1e-3).mean() > 0.99, f"max {diff.max()}, frac {(diff < 1e-3).mean()}"
+
+
+def test_megakernel_sphere_only_scene():
+    import jax.numpy as jnp
+    from tracer.scene import types as T
+
+    spheres = T.make_spheres([[0, 0, 1.0], [3, 3, 5.0]], [1.0, 2.0], [0, 1])
+    mats = T.make_materials(
+        [T.LAMBERTIAN, T.DIFFUSE_LIGHT], [0, 0], [1, 1], np.zeros((2, 3)),
+        [[0.7, 0.3, 0.3], [0, 0, 0]], [[0, 0, 0], [8, 8, 8]], [-1, -1],
+    )
+    scene = T.Scene(spheres, T.empty_planes(), mats, None, None)
+    cam = C.build_camera_data([4, -4, 2.5], [0, 0, 1], 16, 8, 60.0, background=(0.1, 0.1, 0.2))
+    ref = np.asarray(renderer.render_frame(scene, cam, 16, 8, spp=2, max_depth=3, chunk=128))
+    got = np.asarray(
+        megakernel.render_frame_pallas(scene, cam, 16, 8, spp=2, max_depth=3, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    clus = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, 16, 8, spp=2, max_depth=3, interpret=True, cluster_k=8
+        )
+    )
+    np.testing.assert_allclose(clus, ref, atol=1e-4)

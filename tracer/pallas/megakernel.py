@@ -62,7 +62,8 @@ J_ALB0, J_ALB1, J_ALB2 = 14, 15, 16
 J_EMI0, J_EMI1, J_EMI2 = 17, 18, 19
 JROWS = 24  # padded to a sublane multiple
 
-T_MIN = 1e-3  # camera.cu:226
+T_MIN = 1e-3  # camera.cu:226 (Interval(0.001f, 1e30f))
+T_MAX = 1e30
 DENOM_EPS = 1e-8  # plane.h:59
 
 _U = jnp.uint32
@@ -205,8 +206,8 @@ def _unified_ts(po, pd, const_block, a, od, oo, k):
     inv_a = 1.0 / a
     t_near = (-half_b - sqrt_d) * inv_a
     t_far = (-half_b + sqrt_d) * inv_a
-    near_ok = s_hit & (t_near >= T_MIN)
-    far_ok = s_hit & (t_far >= T_MIN)
+    near_ok = s_hit & (t_near >= T_MIN) & (t_near <= T_MAX)
+    far_ok = s_hit & (t_far >= T_MIN) & (t_far <= T_MAX)
     t_s = jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, K_INFINITY))
 
     # plane branch (first = normal)
@@ -218,7 +219,7 @@ def _unified_ts(po, pd, const_block, a, od, oo, k):
     in_ell = (alpha - 0.5) ** 2 + (beta_uv - 0.5) ** 2 <= 0.25
     in_tri = (alpha >= 0.0) & (beta_uv >= 0.0) & (alpha + beta_uv <= 1.0)
     interior = jnp.where(ptype == 0.0, in_quad, jnp.where(ptype == 1.0, in_ell, in_tri))
-    ok_p = denom_ok & (root >= T_MIN) & interior
+    ok_p = denom_ok & (root >= T_MIN) & (root <= T_MAX) & interior
     t_p = jnp.where(ok_p, root, K_INFINITY)
 
     return jnp.where(kind == 0.0, t_s, jnp.where(kind == 1.0, t_p, K_INFINITY))
@@ -250,8 +251,8 @@ def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *, num_s,
         inv_a = 1.0 / a
         t_near = (-half_b - sqrt_d) * inv_a
         t_far = (-half_b + sqrt_d) * inv_a
-        near_ok = s_hit & (t_near >= T_MIN)
-        far_ok = s_hit & (t_far >= T_MIN)
+        near_ok = s_hit & (t_near >= T_MIN) & (t_near <= T_MAX)
+        far_ok = s_hit & (t_far >= T_MIN) & (t_far <= T_MAX)
         t_parts.append(jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, K_INFINITY)))
     if num_p:
         no = po[num_s : num_s + num_p]
@@ -272,7 +273,7 @@ def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *, num_s,
         in_ell = (alpha - 0.5) ** 2 + (beta_uv - 0.5) ** 2 <= 0.25
         in_tri = (alpha >= 0.0) & (beta_uv >= 0.0) & (alpha + beta_uv <= 1.0)
         interior = jnp.where(ptype == 0.0, in_quad, jnp.where(ptype == 1.0, in_ell, in_tri))
-        ok = denom_ok & (root >= T_MIN) & interior
+        ok = denom_ok & (root >= T_MIN) & (root <= T_MAX) & interior
         t_parts.append(jnp.where(ok, root, K_INFINITY))
     if n_pad > n:
         t_parts.append(jnp.full((n_pad - n, TILE), K_INFINITY, jnp.float32))
