@@ -131,3 +131,18 @@ def test_megakernel_sphere_only_scene():
         )
     )
     np.testing.assert_allclose(clus, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("tile_px", [128, 1024])
+def test_tile_sizes_agree(tile_px):
+    scene = _scene()
+    w, h = 40, 30  # 1200 px: crosses the 1024-tile boundary
+    cam = _cam(w, h)
+    ref = np.asarray(renderer.render_frame(scene, cam, w, h, spp=1, max_depth=3, chunk=1200))
+    got = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=1, max_depth=3, interpret=True, tile_px=tile_px
+        )
+    )
+    diff = np.abs(got - ref).max(axis=-1)
+    assert (diff < 1e-3).mean() > 0.99, f"tile {tile_px}: max {diff.max()}"

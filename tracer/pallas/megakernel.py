@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tracer.core import vec
 from tracer.scene.types import Scene, K_INFINITY
 
-TILE = 128  # pixels per grid step
+TILE = 128  # default lane width; tiles are tile_px = 128 or 1024 pixels
 
 # const-table columns (tables are [prims, CROWS])
 C_CCRR = 0  # spheres: |c|^2 - r^2   | planes: D
@@ -234,7 +234,7 @@ def _winner_join(t_blk, join_blk, iota_k, k):
     return t_best, rec
 
 
-def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *, num_s, num_p, n_pad):
+def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *, num_s, num_p, n_pad, tile_px):
     n = num_s + num_p
     po = jnp.dot(proj_ref[:], o8, preferred_element_type=jnp.float32)
     pd = jnp.dot(proj_ref[:], d8, preferred_element_type=jnp.float32)
@@ -276,7 +276,7 @@ def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *, num_s,
         ok = denom_ok & (root >= T_MIN) & (root <= T_MAX) & interior
         t_parts.append(jnp.where(ok, root, K_INFINITY))
     if n_pad > n:
-        t_parts.append(jnp.full((n_pad - n, TILE), K_INFINITY, jnp.float32))
+        t_parts.append(jnp.full((n_pad - n, tile_px), K_INFINITY, jnp.float32))
     t_all = jnp.concatenate(t_parts, axis=0) if len(t_parts) > 1 else t_parts[0]
 
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
@@ -285,7 +285,7 @@ def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *, num_s,
 
 def _intersect_clustered(
     proj_ref, const_ref, join_ref, cbox_ref, o8, d8, a, od, oo,
-    ox, oy, oz, dx, dy, dz, *, num_clusters, k,
+    ox, oy, oz, dx, dy, dz, *, num_clusters, k, tile_px,
 ):
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
 
@@ -339,8 +339,8 @@ def _intersect_clustered(
 
         return jax.lax.cond(any_hit, visit, lambda: (t_glob, rec_glob))
 
-    t0 = jnp.full((1, TILE), K_INFINITY, jnp.float32)
-    rec0 = jnp.zeros((JROWS, TILE), jnp.float32).at[J_RAD].set(1.0)
+    t0 = jnp.full((1, tile_px), K_INFINITY, jnp.float32)
+    rec0 = jnp.zeros((JROWS, tile_px), jnp.float32).at[J_RAD].set(1.0)
     return jax.lax.fori_loop(0, num_clusters, body, (t0, rec0))
 
 
@@ -350,21 +350,23 @@ def _intersect_clustered(
 # ----------------------------------------------------------------------
 
 
-def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg):
+def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg, to_px):
+    # `to_px` reshapes a flat (1, T) intersection row into the kernel's
+    # pixel-tile shape (identity for 128-px tiles, (1,1024)->(8,128) for
+    # big tiles so shading runs at full sublane utilization).
     bgr, bgg, bgb = bg
+    row = lambda r0: to_px(rec[r0 : r0 + 1])
+    t_best = to_px(t_best)
     hit = t_best < K_INFINITY
-    cx, cy, cz, rad = (
-        rec[J_CX : J_CX + 1], rec[J_CY : J_CY + 1],
-        rec[J_CZ : J_CZ + 1], rec[J_RAD : J_RAD + 1],
-    )
-    pnx, pny, pnz = rec[J_NX : J_NX + 1], rec[J_NY : J_NY + 1], rec[J_NZ : J_NZ + 1]
-    is_sph = rec[J_ISSPH : J_ISSPH + 1] > 0.5
-    mtype = rec[J_MTYPE : J_MTYPE + 1]
-    fuzz = rec[J_FUZZ : J_FUZZ + 1]
-    ir = rec[J_IR : J_IR + 1]
-    ab0, ab1, ab2 = rec[J_ABS0 : J_ABS0 + 1], rec[J_ABS1 : J_ABS1 + 1], rec[J_ABS2 : J_ABS2 + 1]
-    al0, al1, al2 = rec[J_ALB0 : J_ALB0 + 1], rec[J_ALB1 : J_ALB1 + 1], rec[J_ALB2 : J_ALB2 + 1]
-    em0, em1, em2 = rec[J_EMI0 : J_EMI0 + 1], rec[J_EMI1 : J_EMI1 + 1], rec[J_EMI2 : J_EMI2 + 1]
+    cx, cy, cz, rad = row(J_CX), row(J_CY), row(J_CZ), row(J_RAD)
+    pnx, pny, pnz = row(J_NX), row(J_NY), row(J_NZ)
+    is_sph = row(J_ISSPH) > 0.5
+    mtype = row(J_MTYPE)
+    fuzz = row(J_FUZZ)
+    ir = row(J_IR)
+    ab0, ab1, ab2 = row(J_ABS0), row(J_ABS1), row(J_ABS2)
+    al0, al1, al2 = row(J_ALB0), row(J_ALB1), row(J_ALB2)
+    em0, em1, em2 = row(J_EMI0), row(J_EMI1), row(J_EMI2)
 
     t_calc = jnp.where(hit, t_best, 1.0)
     px = ox + t_calc * dx
@@ -493,6 +495,7 @@ def _kernel(
     params_ref,  # SMEM [1, 24] f32: camera + background
     *refs,
     clustered: bool,
+    tile_px: int,
     num_s: int,
     num_p: int,
     n_pad: int,
@@ -511,8 +514,10 @@ def _kernel(
         cbox_ref = None
 
     pid = pl.program_id(0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-    lin = pid * TILE + lane
+    ps = (tile_px // 128, 128)  # pixel-tile shape: (1,128) or (8,128)
+    sub = jax.lax.broadcasted_iota(jnp.int32, ps, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, ps, 1)
+    lin = pid * tile_px + sub * 128 + lane
     valid = lin < num_pixels
     lin = jnp.minimum(lin, num_pixels - 1)
     i_px = (lin % width).astype(jnp.float32)  # column
@@ -549,29 +554,39 @@ def _kernel(
         def cond(st):
             return (st[0] < max_depth) & jnp.any(st[6])
 
+        flat = lambda x: x.reshape(1, tile_px)
+        to_px = lambda r: r.reshape(ps)
+
         def bounce(st):
             depth, (ox, oy, oz), (dx, dy, dz), beta, final, seed, alive = st
 
-            o8 = jnp.concatenate([ox, oy, oz, jnp.zeros((5, TILE), jnp.float32)], axis=0)
-            d8 = jnp.concatenate([dx, dy, dz, jnp.zeros((5, TILE), jnp.float32)], axis=0)
+            o8 = jnp.concatenate(
+                [flat(ox), flat(oy), flat(oz), jnp.zeros((5, tile_px), jnp.float32)], axis=0
+            )
+            d8 = jnp.concatenate(
+                [flat(dx), flat(dy), flat(dz), jnp.zeros((5, tile_px), jnp.float32)], axis=0
+            )
             a = dx * dx + dy * dy + dz * dz
             od = ox * dx + oy * dy + oz * dz
             oo = ox * ox + oy * oy + oz * oz
 
             if clustered:
                 t_best, rec = _intersect_clustered(
-                    proj_ref, const_ref, join_ref, cbox_ref, o8, d8, a, od, oo,
+                    proj_ref, const_ref, join_ref, cbox_ref, o8, d8,
+                    flat(a), flat(od), flat(oo),
                     ox, oy, oz, dx, dy, dz, num_clusters=num_clusters, k=k,
+                    tile_px=tile_px,
                 )
             else:
                 t_best, rec = _intersect_brute(
-                    proj_ref, const_ref, join_ref, o8, d8, a, od, oo,
-                    num_s=num_s, num_p=num_p, n_pad=n_pad,
+                    proj_ref, const_ref, join_ref, o8, d8,
+                    flat(a), flat(od), flat(oo),
+                    num_s=num_s, num_p=num_p, n_pad=n_pad, tile_px=tile_px,
                 )
 
             o3, d3, beta, final, seed, alive = _shade(
                 rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed,
-                alive, (bgr, bgg, bgb),
+                alive, (bgr, bgg, bgb), to_px,
             )
             return (depth + 1, o3, d3, beta, final, seed, alive)
 
@@ -582,14 +597,14 @@ def _kernel(
         return (a0 + f0, a1 + f1, a2 + f2)
 
     acc = (
-        jnp.zeros((1, TILE), jnp.float32),
-        jnp.zeros((1, TILE), jnp.float32),
-        jnp.zeros((1, TILE), jnp.float32),
+        jnp.zeros(ps, jnp.float32),
+        jnp.zeros(ps, jnp.float32),
+        jnp.zeros(ps, jnp.float32),
     )
     acc = jax.lax.fori_loop(0, spp, one_sample, acc)
-    out_ref[0:1, :] = acc[0]
-    out_ref[1:2, :] = acc[1]
-    out_ref[2:3, :] = acc[2]
+    out_ref[0:1, :] = acc[0].reshape(1, tile_px)
+    out_ref[1:2, :] = acc[1].reshape(1, tile_px)
+    out_ref[2:3, :] = acc[2].reshape(1, tile_px)
 
 
 def render_frame_pallas(
@@ -602,6 +617,7 @@ def render_frame_pallas(
     reference_quirk: bool = True,
     interpret: bool = False,
     cluster_k: int = 0,
+    tile_px: int = 1024,
 ):
     """Render one frame with the fused megakernel.
 
@@ -616,8 +632,9 @@ def render_frame_pallas(
     from inside jit (tracer.pallas.diff does).
     """
     assert scene.textures is None, "megakernel: textured scenes use the XLA path"
+    assert tile_px % 128 == 0 and tile_px >= 128
     num_pixels = width * height
-    grid = (num_pixels + TILE - 1) // TILE
+    grid = (num_pixels + tile_px - 1) // tile_px
 
     params = jnp.concatenate(
         [
@@ -631,6 +648,7 @@ def render_frame_pallas(
     ).reshape(1, 24)
 
     common = dict(
+        tile_px=tile_px,
         spp=spp,
         max_depth=max_depth,
         width=width,
@@ -678,8 +696,8 @@ def render_frame_pallas(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((3, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, grid * TILE), jnp.float32),
+        out_specs=pl.BlockSpec((3, tile_px), lambda g: (0, g), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, grid * tile_px), jnp.float32),
         interpret=interpret,
     )(*inputs)
 
