@@ -10,6 +10,8 @@ Usage:
   python -m tracer.cli --default > config.txt
   python -m tracer.cli --gpu < config.txt
   python -m tracer.cli --config config.txt --backend tpu --format png
+  python -m tracer.cli --fit target.png --config config.txt \
+      --fit-params materials.albedo --fit-steps 200
 """
 
 from __future__ import annotations
@@ -35,6 +37,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="use the fused Pallas megakernel (untextured scenes)")
     p.add_argument("--no-quirk", action="store_true",
                    help="use corrected j*width+i pixel seeding instead of the reference quirk")
+    p.add_argument("--fit", metavar="TARGET", default=None,
+                   help="inverse rendering: fit scene parameters to a target "
+                        "image (png/bin written by this tool) instead of rendering")
+    p.add_argument("--fit-params", default="materials.albedo",
+                   help="comma-separated dotted Scene paths to optimize")
+    p.add_argument("--fit-steps", type=int, default=100)
+    p.add_argument("--fit-lr", type=float, default=1e-2)
+    p.add_argument("--fit-checkpoint", default=None,
+                   help="npz checkpoint path (resumes if it exists)")
     return p
 
 
@@ -79,6 +90,10 @@ def main(argv=None) -> int:
     from tracer.scene import builders
 
     scene = builders.create_scene(params, with_bvh=args.bvh)
+
+    if args.fit:
+        return _run_fit(args, scene, params)
+
     out_dir = os.path.dirname(params.output_path)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
@@ -90,6 +105,51 @@ def main(argv=None) -> int:
         reference_quirk=not args.no_quirk,
         engine="pallas" if args.pallas else "xla",
     )
+    return 0
+
+
+def _run_fit(args, scene, params) -> int:
+    """Fit the named scene parameters to a target image (see tracer.opt)."""
+    import numpy as np
+
+    from tracer.io import image as image_io
+    from tracer.opt import fit as fit_mod
+    from tracer.render import camera as camera_mod
+
+    if args.fit.endswith(".bin"):
+        q = image_io.read_binary(args.fit).astype(np.float32)
+    else:
+        from PIL import Image
+
+        q = np.asarray(Image.open(args.fit).convert("RGB"), np.float32)
+    # invert the saver quantize (camera.cu:64-73): byte = 256*sqrt(mean)
+    target = (q / 256.0) ** 2
+    h, w = target.shape[:2]
+    if (w, h) != (params.width, params.height):
+        print(f"tracer: target is {w}x{h}, config says "
+              f"{params.width}x{params.height}", file=sys.stderr)
+        return 2
+
+    lookfrom, lookat = camera_mod.camera_path_position(
+        params.camera_path, 0, params.num_frames
+    )
+    cam = camera_mod.build_camera_data(
+        origin=lookfrom, look_at=lookat, width=w, height=h,
+        vfov=params.fov_degrees,
+    )
+    sqrt_spp = params.render.sqrt_rays_per_pixel
+    fitted, losses = fit_mod.fit(
+        scene, cam, target, w, h,
+        spp=sqrt_spp * sqrt_spp, max_depth=params.render.max_depth,
+        param_paths=tuple(p for p in args.fit_params.split(",") if p),
+        steps=args.fit_steps, learning_rate=args.fit_lr,
+        checkpoint_path=args.fit_checkpoint,
+    )
+    for path in args.fit_params.split(","):
+        if path:
+            val = fit_mod.get_path(fitted, path)
+            print(f"{path} = {np.asarray(val).tolist()}")
+    print(f"final loss: {losses[-1] if losses else float('nan'):.6g}")
     return 0
 
 
