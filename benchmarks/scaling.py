@@ -77,8 +77,8 @@ def main() -> int:
         dt = time.perf_counter() - t0
         rate = rays / dt / 1e6
         if base_rate is None:
-            base_rate = rate
-        eff = rate / (base_rate * n)
+            base_rate = rate / counts[0]  # per-device rate of the first mesh
+        eff = (rate / n) / base_rate
         print(f"{n}\t{dt:.3f}\t{rate:.2f}\t{eff:.3f}")
     return 0
 

@@ -84,3 +84,30 @@ class TestTextureLoad:
     def test_reference_floor_jpg(self):
         t = tex.load_texture("/root/reference/floor.jpg")
         assert t is not None and t.ndim == 3 and t.shape[2] == 3
+
+
+class TestSaverSppQuirk:
+    def test_driver_divides_by_sqrt_spp_by_default(self, tmp_path):
+        # reference camera.cu:300: BinarySaver(sqrt_rays_per_pixel, ...)
+        # while the accumulator holds sqrt_spp^2 samples.
+        import io as _io
+
+        from tracer.render import driver
+        from tracer.scene import builders, config
+
+        params = config.read_scene_params(_io.StringIO(config.smoke_config_text()))
+        params.width, params.height = 8, 6
+        params.num_frames = 1
+        params.render.sqrt_rays_per_pixel = 2  # spp = 4
+        params.render.max_depth = 2
+        scene = builders.create_scene(params, texture_loader=lambda _: None)
+
+        params.output_path = str(tmp_path / "q_%d.bin")
+        fb = driver.render_animation(scene, params, out=_io.StringIO())
+        got_quirk = img.read_binary(str(tmp_path / "q_0.bin"))
+        np.testing.assert_array_equal(got_quirk, img.quantize(fb, 2))  # / sqrt_spp
+
+        params.output_path = str(tmp_path / "c_%d.bin")
+        driver.render_animation(scene, params, out=_io.StringIO(), saver_spp_quirk=False)
+        got_fixed = img.read_binary(str(tmp_path / "c_0.bin"))
+        np.testing.assert_array_equal(got_fixed, img.quantize(fb, 4))  # / spp

@@ -22,7 +22,9 @@ Layer map (mirrors SURVEY.md section 1 of the reference):
   io/        L7 image savers + texture loading
   cli.py     L8 driver
   pallas/    TPU kernels
-  parallel/  mesh + sharding (new capability; reference is single-GPU)
+  dist/      mesh + sharding (new capability; reference is single-GPU)
+  opt/       inverse-rendering fit loop
+  utils/     profiling + debug guards
 """
 
 __version__ = "0.1.0"

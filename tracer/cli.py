@@ -37,6 +37,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="use the fused Pallas megakernel (untextured scenes)")
     p.add_argument("--no-quirk", action="store_true",
                    help="use corrected j*width+i pixel seeding instead of the reference quirk")
+    p.add_argument("--no-saver-quirk", action="store_true",
+                   help="divide saved images by the true sample count instead of "
+                        "the reference's sqrt_spp (camera.cu:300)")
     p.add_argument("--fit", metavar="TARGET", default=None,
                    help="inverse rendering: fit scene parameters to a target "
                         "image (png/bin written by this tool) instead of rendering")
@@ -104,6 +107,7 @@ def main(argv=None) -> int:
         saver=args.format,
         reference_quirk=not args.no_quirk,
         engine="pallas" if args.pallas else "xla",
+        saver_spp_quirk=not args.no_saver_quirk,
     )
     return 0
 
@@ -122,8 +126,12 @@ def _run_fit(args, scene, params) -> int:
         from PIL import Image
 
         q = np.asarray(Image.open(args.fit).convert("RGB"), np.float32)
-    # invert the saver quantize (camera.cu:64-73): byte = 256*sqrt(mean)
-    target = (q / 256.0) ** 2
+    sqrt_spp = params.render.sqrt_rays_per_pixel
+    spp = sqrt_spp * sqrt_spp
+    # invert the saver quantize (camera.cu:64-73): byte = 256*sqrt(sum/div)
+    # -> mean = sum/spp = (byte/256)^2 * div/spp
+    divisor = spp if args.no_saver_quirk else sqrt_spp
+    target = (q / 256.0) ** 2 * (divisor / spp)
     h, w = target.shape[:2]
     if (w, h) != (params.width, params.height):
         print(f"tracer: target is {w}x{h}, config says "
@@ -137,10 +145,9 @@ def _run_fit(args, scene, params) -> int:
         origin=lookfrom, look_at=lookat, width=w, height=h,
         vfov=params.fov_degrees,
     )
-    sqrt_spp = params.render.sqrt_rays_per_pixel
     fitted, losses = fit_mod.fit(
         scene, cam, target, w, h,
-        spp=sqrt_spp * sqrt_spp, max_depth=params.render.max_depth,
+        spp=spp, max_depth=params.render.max_depth,
         param_paths=tuple(p for p in args.fit_params.split(",") if p),
         steps=args.fit_steps, learning_rate=args.fit_lr,
         checkpoint_path=args.fit_checkpoint,

@@ -230,14 +230,14 @@ def _winner_join(t_blk, join_blk, iota_k, k):
     t_best = jnp.min(t_blk, axis=0, keepdims=True)
     widx = jnp.min(jnp.where(t_blk == t_best, iota_k, k), axis=0, keepdims=True)
     onehot = (iota_k == widx).astype(jnp.float32)
-    rec = jnp.dot(join_blk, onehot, preferred_element_type=jnp.float32)
+    rec = jnp.dot(join_blk, onehot, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     return t_best, rec
 
 
 def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *, num_s, num_p, n_pad, tile_px):
     n = num_s + num_p
-    po = jnp.dot(proj_ref[:], o8, preferred_element_type=jnp.float32)
-    pd = jnp.dot(proj_ref[:], d8, preferred_element_type=jnp.float32)
+    po = jnp.dot(proj_ref[:], o8, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    pd = jnp.dot(proj_ref[:], d8, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
     t_parts = []
     if num_s:
@@ -321,11 +321,11 @@ def _intersect_clustered(
         def visit():
             po = jnp.dot(
                 proj_ref[pl.ds(c * 3 * k, 3 * k)], o8,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
             )
             pd = jnp.dot(
                 proj_ref[pl.ds(c * 3 * k, 3 * k)], d8,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
             )
             cb = const_ref[pl.ds(c * k, k), :]
             t_blk = _unified_ts(po, pd, cb, a, od, oo, k)

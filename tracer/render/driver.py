@@ -34,6 +34,8 @@ def render_animation(
     frames=None,
     early_exit: bool = True,
     engine: str = "xla",
+    saver_spp_quirk: bool = True,
+    mesh=None,
 ):
     """Render `params.num_frames` frames; returns the last framebuffer.
 
@@ -43,9 +45,20 @@ def render_animation(
     compute path: "xla" (chunked renderer, any intersector, textures) or
     "pallas" (fused megakernel; untextured scenes only — interpret mode
     is used automatically off-TPU).
+
+    `saver_spp_quirk`: the reference drivers construct their savers with
+    sqrt_rays_per_pixel while accumulating sqrt_spp^2 samples
+    (camera.cu:300/357 vs :319-320), so reference image bytes are
+    quantize(sum / sqrt_spp) — over-bright by sqrt(spp) in linear terms.
+    True (default) replicates that for byte parity with reference
+    output; False divides by the true sample count.
+
+    `mesh`: optional jax.sharding.Mesh — tile-shards each frame over it
+    (tracer.dist.sharding) instead of the single-device renderer.
     """
     sqrt_spp = params.render.sqrt_rays_per_pixel
     spp = sqrt_spp * sqrt_spp  # camera.cu:319-320
+    saver_divisor = sqrt_spp if saver_spp_quirk else spp
     width, height = params.width, params.height
     writer = image_io.SAVERS[saver]
     rays = renderer.total_rays(width, height, sqrt_spp)
@@ -75,6 +88,15 @@ def render_animation(
                 reference_quirk=reference_quirk,
                 interpret=jax.default_backend() == "cpu",
             )
+        elif mesh is not None:
+            from tracer.dist import sharding
+
+            fb_dev = sharding.render_frame_sharded(
+                scene, cam, width, height, spp,
+                params.render.max_depth, mesh,
+                intersector=intersector, reference_quirk=reference_quirk,
+                chunk=chunk,
+            )
         else:
             fb_dev = renderer.render_frame(
                 scene, cam, width, height, spp=spp,
@@ -92,5 +114,5 @@ def render_animation(
             filename = params.output_path % n  # snprintf(path, n), camera.cu:298-300
         except TypeError:
             filename = params.output_path
-        writer(filename, fb, spp)
+        writer(filename, fb, saver_divisor)
     return fb

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from tracer.core import vec
@@ -99,8 +100,12 @@ def hit_scene_fast(scene: Scene, origin, direction, t_min=T_MIN, t_max=T_MAX) ->
     proj_mat = jnp.concatenate(mats, axis=0)  # [S + 3P, 3]
 
     # ---- the two projection matmuls (MXU) -----------------------------
-    proj_o = origin @ proj_mat.T  # [R, S+3P]
-    proj_d = direction @ proj_mat.T
+    # HIGHEST precision: TPU's default matmul rounds f32 operands to
+    # bfloat16, which would shift intersection roots by ~1e-2 and flip
+    # silhouette hits vs the brute/oracle path.
+    hp = jax.lax.Precision.HIGHEST
+    proj_o = jnp.matmul(origin, proj_mat.T, precision=hp)  # [R, S+3P]
+    proj_d = jnp.matmul(direction, proj_mat.T, precision=hp)
 
     a = vec.length_squared(direction)[:, None]  # [R, 1]
     t_parts = []
@@ -185,7 +190,7 @@ def hit_scene_fast(scene: Scene, origin, direction, t_min=T_MIN, t_max=T_MAX) ->
         [jnp.concatenate(geo_cols, axis=0), _material_table(scene, prim_mat_idx)], axis=1
     )  # [N, 8 + 13]
 
-    rec = onehot @ join  # [R, 20]  (MXU)
+    rec = jnp.matmul(onehot, join, precision=hp)  # [R, 21]  (MXU)
 
     center = rec[:, 0:3]
     radius = rec[:, 3]
