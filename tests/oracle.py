@@ -63,6 +63,26 @@ class Rng:
             return d
         return -d
 
+    # --- reference-stream samplers (true rejection loops,
+    #     random_utils.h:25-42) ------------------------------------------
+    def in_unit_sphere_ref(self):
+        while True:
+            x = F(F(-1.0) + F(2.0) * self.random_float())
+            y = F(F(-1.0) + F(2.0) * self.random_float())
+            z = F(F(-1.0) + F(2.0) * self.random_float())
+            cand = np.array([x, y, z], F)
+            if float(np.dot(cand, cand)) < 1.0:
+                return cand
+
+    def unit_vector_ref(self):
+        return _unit(self.in_unit_sphere_ref())
+
+    def in_hemisphere_ref(self, normal):
+        d = self.unit_vector_ref()
+        if float(np.dot(d, normal)) > 0.0:
+            return d
+        return -d
+
 
 def _unit(v):
     return (v / F(np.linalg.norm(v))).astype(F)
@@ -160,15 +180,62 @@ def _tex2d(tex, u, v):
     return (top * (1 - dy) + bot * dy).astype(F)
 
 
-def _scatter(scene, rng, o_in, d_in, point, normal, front_face, mat, albedo):
-    """Fixed 8-draw scatter; returns (origin, dir, attenuation, ok)."""
+def _scatter(scene, rng, o_in, d_in, point, normal, front_face, mat, albedo,
+             rng_mode="fixed"):
+    """Scatter; returns (origin, dir, attenuation, ok).
+
+    rng_mode "fixed": the 8-draw budget shared with the JAX renderer.
+    rng_mode "reference": draw consumption exactly as the reference
+    binary (materials.h:70-140) — rejection loops, conditional draws.
+    """
+    mtype = mat["mtype"]
+    if rng_mode == "reference":
+        if mtype == 0:  # LAMBERTIAN (materials.h:73-79)
+            hemi = rng.in_hemisphere_ref(normal)
+            direction = hemi if not np.all(np.abs(hemi) < 1e-8) else normal
+            return point, direction, albedo, True
+        if mtype == 1:  # METAL (materials.h:81-95)
+            if float(rng.random_float()) < 0.8:
+                ball = rng.in_unit_sphere_ref()
+                refl = _reflect(_unit(d_in), normal) + F(mat["fuzz"]) * ball
+                return point, refl, albedo, float(np.dot(refl, normal)) > 0.0
+            hemi = rng.in_hemisphere_ref(normal)
+            direction = hemi if not np.all(np.abs(hemi) < 1e-8) else normal
+            return point, direction, albedo, True
+        if mtype == 2:  # DIELECTRIC (materials.h:97-133)
+            ir = float(mat["ir"])
+            ratio = (1.0 / ir) if front_face else ir
+            ud = _unit(d_in)
+            cos_theta = min(float(np.dot(-ud, normal)), 1.0)
+            sin_theta = math.sqrt(max(0.0, 1.0 - cos_theta * cos_theta))
+            cannot = ratio * sin_theta > 1.0
+            r0 = ((1 - ratio) / (1 + ratio)) ** 2
+            refl_p = r0 + (1 - r0) * (1 - cos_theta) ** 5
+            # || short-circuit (materials.h:109): the reflectance draw is
+            # consumed only when refraction is possible
+            if cannot or refl_p > float(rng.random_float()):
+                direction = _reflect(ud, normal)
+            else:
+                direction = _refract(ud, normal, ratio)
+            att = np.ones(3, F)
+            if not front_face:
+                dist = float(np.linalg.norm(point - o_in))
+                att = np.exp(-mat["absorption"].astype(np.float64) * dist).astype(F)
+            p = float(att.max())
+            if float(rng.random_float()) > p:
+                return point, direction, att, False
+            att = (att / F(p)).astype(F)
+            side = 1.0 if float(np.dot(direction, normal)) > 0.0 else -1.0
+            origin = (point + normal * F(1e-4 * side)).astype(F)
+            return origin, direction, att, True
+        return point, normal, albedo, False  # DIFFUSE_LIGHT
+
     u_choice = rng.random_float()
     hemi = rng.in_hemisphere(normal)
     ball = rng.in_unit_sphere()
     u_refl = rng.random_float()
     u_rr = rng.random_float()
 
-    mtype = mat["mtype"]
     if mtype == 0:  # LAMBERTIAN
         direction = hemi if not np.all(np.abs(hemi) < 1e-8) else normal
         return point, direction, albedo, True
@@ -205,7 +272,7 @@ def _scatter(scene, rng, o_in, d_in, point, normal, front_face, mat, albedo):
     return point, normal, albedo, False  # DIFFUSE_LIGHT
 
 
-def ray_color(scene, rng, origin, direction, background, max_depth):
+def ray_color(scene, rng, origin, direction, background, max_depth, rng_mode="fixed"):
     final = np.zeros(3, F)
     beta = np.ones(3, F)
     o, d = origin.astype(F), direction.astype(F)
@@ -240,7 +307,8 @@ def ray_color(scene, rng, origin, direction, background, max_depth):
 
         # The vectorized renderer advances every lane's seed by 8 per
         # bounce; the oracle must consume the same draws in the same order.
-        new_o, new_d, att, ok = _scatter(scene, rng, o, d, point, normal, front, mat, albedo)
+        new_o, new_d, att, ok = _scatter(scene, rng, o, d, point, normal, front, mat, albedo,
+                                         rng_mode=rng_mode)
         if not ok:
             break
         beta = (beta * att).astype(F)
@@ -248,7 +316,8 @@ def ray_color(scene, rng, origin, direction, background, max_depth):
     return final
 
 
-def render(scene, cam, width, height, spp, max_depth, reference_quirk=True):
+def render(scene, cam, width, height, spp, max_depth, reference_quirk=True,
+           rng_mode="fixed"):
     """Full-frame scalar render; returns [H, W, 3] raw sample sums."""
     fb = np.zeros((height, width, 3), F)
     origin = cam["origin"].astype(F)
@@ -268,6 +337,7 @@ def render(scene, cam, width, height, spp, max_depth, reference_quirk=True):
                 oy = rng.random_float() - F(0.5)
                 sample = (pc + ox * cam["pixel_delta_u"] + oy * cam["pixel_delta_v"]).astype(F)
                 d = (sample - origin).astype(F)
-                acc += ray_color(scene, rng, origin, d, cam["background"], max_depth)
+                acc += ray_color(scene, rng, origin, d, cam["background"], max_depth,
+                                 rng_mode=rng_mode)
             fb[j, i] = acc
     return fb

@@ -141,3 +141,35 @@ def test_deterministic():
     a = np.asarray(renderer.render_frame(scene_jax, cam, 8, 8, spp=2, max_depth=4, chunk=64))
     b = np.asarray(renderer.render_frame(scene_jax, cam, 8, 8, spp=2, max_depth=4, chunk=64))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("quirk", [True])
+def test_reference_rng_mode_matches_oracle(quirk):
+    """Per-lane reference-stream RNG (rejection loops + conditional draw
+    consumption) must match the scalar oracle running the TRUE unbounded
+    reference loops — pins stream-level parity with the reference binary."""
+    scene_jax, scene_np = _full_scene()
+    w, h, spp, depth = 16, 12, 2, 5
+    cam, cam_np = _cameras(w, h)
+
+    got = np.asarray(
+        renderer.render_frame(
+            scene_jax, cam, w, h, spp=spp, max_depth=depth,
+            reference_quirk=quirk, chunk=64, rng_mode="reference",
+        )
+    )
+    want = oracle.render(
+        scene_np, cam_np, w, h, spp=spp, max_depth=depth,
+        reference_quirk=quirk, rng_mode="reference",
+    )
+    diff = np.abs(got - want).max(axis=-1)
+    assert (diff < 1e-3).mean() > 0.99, f"max diff {diff.max()}"
+
+    # and the two rng modes genuinely differ (different streams)
+    fixed = np.asarray(
+        renderer.render_frame(
+            scene_jax, cam, w, h, spp=spp, max_depth=depth,
+            reference_quirk=quirk, chunk=64, rng_mode="fixed",
+        )
+    )
+    assert np.abs(fixed - got).max() > 1e-3

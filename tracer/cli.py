@@ -37,6 +37,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="use the fused Pallas megakernel (untextured scenes)")
     p.add_argument("--no-quirk", action="store_true",
                    help="use corrected j*width+i pixel seeding instead of the reference quirk")
+    p.add_argument("--ref-rng", action="store_true",
+                   help="reference-stream RNG: per-ray wang_hash streams advance "
+                        "exactly like the reference binary (rejection sampling)")
     p.add_argument("--no-saver-quirk", action="store_true",
                    help="divide saved images by the true sample count instead of "
                         "the reference's sqrt_spp (camera.cu:300)")
@@ -108,6 +111,7 @@ def main(argv=None) -> int:
         reference_quirk=not args.no_quirk,
         engine="pallas" if args.pallas else "xla",
         saver_spp_quirk=not args.no_saver_quirk,
+        rng_mode="reference" if args.ref_rng else "fixed",
     )
     return 0
 

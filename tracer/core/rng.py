@@ -26,6 +26,7 @@ returns `(new_seed, value)`.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tracer.core import vec
@@ -95,6 +96,56 @@ def random_in_hemisphere(normal: jnp.ndarray, seed: jnp.ndarray):
     against the normal).
     """
     seed, d = random_unit_vector(seed)
+    flip = jnp.where(vec.dot(d, normal) > 0.0, 1.0, -1.0)
+    return seed, d * flip[..., None]
+
+
+MAX_REJECTION_TRIES = 16  # acceptance ~0.524/try -> P(miss all) ~ 3e-5
+
+
+def random_in_unit_sphere_rejection(seed: jnp.ndarray, max_tries: int = MAX_REJECTION_TRIES):
+    """Reference-stream rejection sampling (random_utils.h:25-32).
+
+    Emulates the reference's unbounded `while (true)` loop with a bounded
+    unroll: each try draws 3 uniforms in [-1, 1); a lane stops advancing
+    its seed once it accepts, so the per-lane wang_hash stream matches
+    the reference binary exactly for lanes accepting within `max_tries`
+    (P(miss) ~ 0.48^16 per call). Never-accepted lanes keep the last
+    candidate scaled into the ball — a <=3e-5 statistical tail.
+
+    Returns (new_seed, point).
+    """
+    def body(_, carry):
+        seed, found, val = carry
+        s, x = random_float_range(seed, -1.0, 1.0)
+        s, y = random_float_range(s, -1.0, 1.0)
+        s, z = random_float_range(s, -1.0, 1.0)
+        cand = jnp.stack([x, y, z], axis=-1)
+        ok = vec.length_squared(cand) < 1.0
+        take = ok & ~found
+        val = jnp.where(take[..., None], cand, val)
+        # lanes that already accepted stop consuming draws
+        seed = jnp.where(found, seed, s)
+        return seed, found | ok, val
+
+    found0 = jnp.zeros(jnp.shape(seed), bool)
+    val0 = jnp.zeros(jnp.shape(seed) + (3,), jnp.float32)
+    seed, found, val = jax.lax.fori_loop(0, max_tries, body, (seed, found0, val0))
+    # tail fallback: pull the last candidate inside the ball
+    norm = jnp.sqrt(jnp.maximum(vec.length_squared(val), 1e-12))
+    val = jnp.where(found[..., None], val, val / jnp.maximum(norm, 1.0)[..., None] * 0.99)
+    return seed, val
+
+
+def random_unit_vector_ref(seed: jnp.ndarray):
+    """reference random_utils.h:34: unit_vector(random_in_unit_sphere)."""
+    seed, p = random_in_unit_sphere_rejection(seed)
+    return seed, vec.unit_vector(p, eps=1e-24)
+
+
+def random_in_hemisphere_ref(normal: jnp.ndarray, seed: jnp.ndarray):
+    """reference random_utils.h:36-42 with the true rejection stream."""
+    seed, d = random_unit_vector_ref(seed)
     flip = jnp.where(vec.dot(d, normal) > 0.0, 1.0, -1.0)
     return seed, d * flip[..., None]
 

@@ -117,3 +117,89 @@ def scatter(
     )
     # DIFFUSE_LIGHT (materials.h:135-137): ok already False via the chain.
     return seed, new_origin, new_dir, attenuation, ok
+
+
+def scatter_reference(
+    ray_origin, ray_dir, point, normal, front_face,
+    mtype, fuzz, ir, absorption, albedo, seed,
+):
+    """Reference-stream scatter: per-lane wang_hash streams advance
+    EXACTLY like the reference binary (materials.h:70-140), including the
+    rejection-loop samplers (random_utils.h:25-32) and conditional draw
+    consumption:
+
+      LAMBERTIAN      hemisphere rejection draws only
+      METAL           1 gate draw, then ball-rejection (specular) or
+                      hemisphere-rejection (diffuse)
+      DIELECTRIC      reflectance draw only when refraction is possible
+                      (the || short-circuit at materials.h:109), then the
+                      Russian-roulette draw
+      DIFFUSE_LIGHT   no draws
+
+    Every branch runs for every lane (SIMD), each threading its own seed
+    chain from the same input state; the surviving branch's seed is
+    selected per lane. Costlier than `scatter` (two rejection samplers) —
+    this is the bit-parity mode, not the fast path.
+    """
+    unit_dir = vec.unit_vector(ray_dir, eps=1e-30)
+
+    # --- LAMBERTIAN chain (materials.h:73-79) -----------------------------
+    seed_lam, hemi_lam = rng.random_in_hemisphere_ref(normal, seed)
+    lam_dir = jnp.where(vec.near_zero(hemi_lam)[..., None], normal, hemi_lam)
+
+    # --- METAL chain (materials.h:81-95) ----------------------------------
+    seed_gate, u_choice = rng.random_float(seed)
+    spec = u_choice < METAL_SPECULAR_P
+    seed_ball, ball = rng.random_in_unit_sphere_rejection(seed_gate)
+    seed_mhemi, hemi_m = rng.random_in_hemisphere_ref(normal, seed_gate)
+    refl_dir = vec.reflect(unit_dir, normal) + fuzz[..., None] * ball
+    met_diff = jnp.where(vec.near_zero(hemi_m)[..., None], normal, hemi_m)
+    metal_dir = jnp.where(spec[..., None], refl_dir, met_diff)
+    metal_ok = jnp.where(spec, vec.dot(refl_dir, normal) > 0.0, True)
+    seed_metal = jnp.where(spec, seed_ball, seed_mhemi)
+
+    # --- DIELECTRIC chain (materials.h:97-133) ----------------------------
+    ratio = jnp.where(front_face, 1.0 / ir, ir)
+    cos_theta = jnp.minimum(vec.dot(-unit_dir, normal), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    cannot_refract = ratio * sin_theta > 1.0
+    seed_refl, u_refl = rng.random_float(seed)
+    # short-circuit: the reflectance draw is consumed only when
+    # refraction is possible (materials.h:109)
+    seed_after_gate = jnp.where(cannot_refract, seed, seed_refl)
+    choose_reflect = cannot_refract | (reflectance(cos_theta, ratio) > u_refl)
+    die_dir = jnp.where(
+        choose_reflect[..., None],
+        vec.reflect(unit_dir, normal),
+        vec.refract(unit_dir, normal, ratio),
+    )
+    distance = vec.length(point - ray_origin)
+    transmission = jnp.exp(-absorption * distance[..., None])
+    die_att = jnp.where(front_face[..., None], 1.0, transmission)
+    p_rr = jnp.max(die_att, axis=-1)
+    seed_die, u_rr = rng.random_float(seed_after_gate)
+    die_ok = u_rr <= p_rr
+    die_att = die_att / jnp.maximum(p_rr, 1e-30)[..., None]
+    side = jnp.where(vec.dot(die_dir, normal) > 0.0, 1.0, -1.0)
+    die_origin = point + normal * (DIELECTRIC_OFFSET * side)[..., None]
+
+    # --- select by material type ------------------------------------------
+    is_lam = mtype == LAMBERTIAN
+    is_metal = mtype == METAL
+    is_die = mtype == DIELECTRIC
+
+    new_dir = jnp.where(
+        is_lam[..., None], lam_dir,
+        jnp.where(is_metal[..., None], metal_dir, die_dir),
+    )
+    new_origin = jnp.where(is_die[..., None], die_origin, point)
+    attenuation = jnp.where(is_die[..., None], die_att, albedo)
+    ok = jnp.where(
+        is_lam, True,
+        jnp.where(is_metal, metal_ok, jnp.where(is_die, die_ok, False)),
+    )
+    new_seed = jnp.where(
+        is_lam, seed_lam,
+        jnp.where(is_metal, seed_metal, jnp.where(is_die, seed_die, seed)),
+    )
+    return new_seed, new_origin, new_dir, attenuation, ok

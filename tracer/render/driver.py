@@ -36,6 +36,7 @@ def render_animation(
     engine: str = "xla",
     saver_spp_quirk: bool = True,
     mesh=None,
+    rng_mode: str = "fixed",
 ):
     """Render `params.num_frames` frames; returns the last framebuffer.
 
@@ -102,6 +103,7 @@ def render_animation(
                 scene, cam, width, height, spp=spp,
                 max_depth=params.render.max_depth, intersector=intersector,
                 reference_quirk=reference_quirk, chunk=chunk, early_exit=early_exit,
+                rng_mode=rng_mode,
             )
         # A tiny host fetch is the reliable sync (block_until_ready does
         # not block on some tunneled backends); cudaEvent analog.

@@ -70,7 +70,7 @@ def _joined_hit(scene: Scene, origin, direction, intersector: str):
     )
 
 
-def _bounce(scene: Scene, background, carry, intersector: str):
+def _bounce(scene: Scene, background, carry, intersector: str, rng_mode: str = "fixed"):
     origin, direction, beta, final, seed, alive = carry
 
     rec = _joined_hit(scene, origin, direction, intersector)
@@ -92,7 +92,10 @@ def _bounce(scene: Scene, background, carry, intersector: str):
 
     # Scatter (camera.cu:240-244). Seeds advance on every lane each bounce
     # (fixed 8-draw budget) so streams stay uniform across the batch.
-    seed, new_origin, new_dir, attenuation, ok = scatter_mod.scatter(
+    scatter_fn = (
+        scatter_mod.scatter_reference if rng_mode == "reference" else scatter_mod.scatter
+    )
+    seed, new_origin, new_dir, attenuation, ok = scatter_fn(
         origin, direction, rec.point, rec.normal, rec.front_face,
         rec.mtype, rec.fuzz, rec.ir, rec.absorption, albedo, seed,
     )
@@ -105,7 +108,7 @@ def _bounce(scene: Scene, background, carry, intersector: str):
     return (origin, direction, beta, final, seed, live)
 
 
-@partial(jax.jit, static_argnames=("max_depth", "intersector", "early_exit"))
+@partial(jax.jit, static_argnames=("max_depth", "intersector", "early_exit", "rng_mode"))
 def trace(
     scene: Scene,
     background,
@@ -115,6 +118,7 @@ def trace(
     max_depth: int,
     intersector: str = "fast",
     early_exit: bool = False,
+    rng_mode: str = "fixed",
 ):
     """Radiance for a batch of rays.
 
@@ -126,6 +130,10 @@ def trace(
       max_depth: static bounce cap (reference camera.cu:223).
       intersector: "fast" (MXU brute force), "brute" (reference port),
         or "bvh" (scene.bvh must be built).
+      rng_mode: "fixed" (8-draw budget per bounce, the fast SIMD-uniform
+        stream shared with the Pallas kernel) or "reference" (per-lane
+        streams advance exactly like the reference binary — rejection
+        sampling + conditional consumption; see scatter_reference).
       early_exit: run the depth loop as a while_loop that stops as soon as
         every ray in the batch has terminated — the vectorized analog of
         the reference's per-thread `break` (camera.cu:228). Forward-only:
@@ -150,12 +158,12 @@ def trace(
 
         def body(state):
             depth, carry = state
-            return depth + 1, _bounce(scene, background, carry, intersector)
+            return depth + 1, _bounce(scene, background, carry, intersector, rng_mode)
 
         _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
     else:
         def body(carry, _):
-            return _bounce(scene, background, carry, intersector), None
+            return _bounce(scene, background, carry, intersector, rng_mode), None
 
         carry, _ = jax.lax.scan(body, carry, None, length=max_depth)
     _, _, _, final, seed, _ = carry

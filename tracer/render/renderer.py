@@ -38,6 +38,7 @@ def render_pixels(
     chunk: int = DEFAULT_CHUNK,
     early_exit: bool = False,
     sample_start: int = 0,
+    rng_mode: str = "fixed",
 ):
     """Raw sample sums [N, 3] for a flat list of pixels.
 
@@ -64,7 +65,7 @@ def render_pixels(
         seed, origin, direction = camera_mod.get_rays(cam, i, j, seed)
         color, _ = integrator.trace(
             scene, cam.background, origin, direction, seed, max_depth,
-            intersector=intersector, early_exit=early_exit,
+            intersector=intersector, early_exit=early_exit, rng_mode=rng_mode,
         )
         return color
 
@@ -112,7 +113,7 @@ def pixel_grid(width: int, height: int, reference_quirk: bool = True):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "early_exit"),
+    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "early_exit", "rng_mode"),
 )
 def render_frame(
     scene: Scene,
@@ -125,6 +126,7 @@ def render_frame(
     reference_quirk: bool = True,
     chunk: int = DEFAULT_CHUNK,
     early_exit: bool = False,
+    rng_mode: str = "fixed",
 ):
     """Render one frame; returns [height, width, 3] raw sample sums.
 
@@ -134,6 +136,7 @@ def render_frame(
     fb = render_pixels(
         scene, cam, i_flat, j_flat, base_seed, spp, max_depth,
         intersector=intersector, chunk=chunk, early_exit=early_exit,
+        rng_mode=rng_mode,
     )
     return fb.reshape(height, width, 3)
 
