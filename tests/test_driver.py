@@ -90,3 +90,49 @@ class TestCliSubprocess:
         )
         assert r.returncode == 2
         assert "bad config" in r.stderr
+
+
+class TestStratifiedSampling:
+    def test_offsets_confined_to_cells(self):
+        import jax.numpy as jnp
+
+        from tracer.core import rng as rng_mod
+
+        cam = C.build_camera_data([0, 0, 5], [0, 0, 0], 4, 4, 60.0, vup=(0, 1, 0))
+        i = jnp.zeros((64,), jnp.uint32)
+        j = jnp.zeros((64,), jnp.uint32)
+        seeds = jnp.arange(64, dtype=jnp.uint32) * jnp.uint32(2654435761)
+        # sample 0 of a 2x2 stratification must land in the lower-left
+        # quarter-pixel: offsets in [-0.5, 0)
+        _, _, d0 = C.get_rays(cam, i, j, seeds, sample_index=jnp.zeros((64,), jnp.uint32), sqrt_spp=2)
+        _, _, d3 = C.get_rays(cam, i, j, seeds, sample_index=jnp.full((64,), 3, jnp.uint32), sqrt_spp=2)
+        # recompute offsets by inverting the pixel basis: project onto du
+        du = np.asarray(cam.pixel_delta_u)
+        pc = np.asarray(cam.pixel00_loc)
+        o = np.asarray(cam.origin)
+        off0 = (np.asarray(d0) + o - pc) @ du / (du @ du)
+        off3 = (np.asarray(d3) + o - pc) @ du / (du @ du)
+        assert (off0 >= -0.5 - 1e-5).all() and (off0 < 0.0 + 1e-5).all()
+        assert (off3 >= 0.0 - 1e-5).all() and (off3 < 0.5 + 1e-5).all()
+
+    def test_stratified_variance_reduction(self):
+        # edge-on view of a sphere: stratification should reduce the
+        # pixel-level MC variance vs uniform jitter.
+        from tracer.scene import types as T
+
+        spheres = T.make_spheres([[0, 0, 0.0]], [1.0], [0])
+        mats = T.make_materials([T.DIFFUSE_LIGHT], [0], [1], np.zeros((1, 3)),
+                                [[0, 0, 0]], [[1, 1, 1]], [-1])
+        scene = T.Scene(spheres, T.empty_planes(), mats, None, None)
+        cam = C.build_camera_data([0, 0, 4], [0, 0, 0], 24, 24, 30.0, vup=(0, 1, 0))
+        spp = 16
+        uni = np.asarray(renderer.render_frame(scene, cam, 24, 24, spp=spp, max_depth=2, chunk=576)) / spp
+        strat = np.asarray(
+            renderer.render_frame(scene, cam, 24, 24, spp=spp, max_depth=2, chunk=576, stratify=True)
+        ) / spp
+        ref = np.asarray(
+            renderer.render_frame(scene, cam, 24, 24, spp=1024, max_depth=2, chunk=576, stratify=True)
+        ) / 1024
+        err_u = np.abs(uni - ref).mean()
+        err_s = np.abs(strat - ref).mean()
+        assert err_s < err_u, (err_s, err_u)

@@ -37,6 +37,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="use the fused Pallas megakernel (untextured scenes)")
     p.add_argument("--no-quirk", action="store_true",
                    help="use corrected j*width+i pixel seeding instead of the reference quirk")
+    p.add_argument("--stratify", action="store_true",
+                   help="stratified sub-pixel sampling (sqrt_spp x sqrt_spp grid) "
+                        "instead of the reference's uniform jitter")
     p.add_argument("--ref-rng", action="store_true",
                    help="reference-stream RNG: per-ray wang_hash streams advance "
                         "exactly like the reference binary (rejection sampling)")
@@ -112,6 +115,7 @@ def main(argv=None) -> int:
         engine="pallas" if args.pallas else "xla",
         saver_spp_quirk=not args.no_saver_quirk,
         rng_mode="reference" if args.ref_rng else "fixed",
+        stratify=args.stratify,
     )
     return 0
 

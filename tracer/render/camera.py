@@ -71,12 +71,19 @@ def build_camera_data(
     )
 
 
-def get_rays(cam: CameraData, i, j, seed):
+def get_rays(cam: CameraData, i, j, seed, sample_index=None, sqrt_spp: int = 0):
     """Jittered primary rays for pixel columns `i`, rows `j` (both [R]).
 
     reference camera.cuh:97-109: pixel center + uniform offset in
     [-0.5, 0.5]^2 of a pixel; direction is NOT normalized. Two RNG
     advances per ray, x before y. Returns (seed, origin[R,3], dir[R,3]).
+
+    Stratified anti-aliasing (`sqrt_spp` > 0 with `sample_index` set):
+    sample s lands in cell (s % k, s // k) of a k x k sub-pixel grid with
+    the uniform jitter confined to the cell — same two RNG advances, so
+    the rest of the stream is unchanged. The reference names its sample
+    count sqrt_rays_per_pixel^2 but jitters uniformly; this realizes the
+    stratification that name implies (off by default for parity).
     """
     fi = i.astype(jnp.float32)[..., None]
     fj = j.astype(jnp.float32)[..., None]
@@ -84,8 +91,16 @@ def get_rays(cam: CameraData, i, j, seed):
 
     seed, ox = rng.random_float(seed)
     seed, oy = rng.random_float(seed)
-    offset_x = ox - 0.5
-    offset_y = oy - 0.5
+    if sqrt_spp and sample_index is not None:
+        k = jnp.float32(sqrt_spp)
+        s = jnp.asarray(sample_index, jnp.float32)
+        cell_x = jnp.mod(s, k)
+        cell_y = jnp.floor(s / k)
+        offset_x = (cell_x + ox) / k - 0.5
+        offset_y = (cell_y + oy) / k - 0.5
+    else:
+        offset_x = ox - 0.5
+        offset_y = oy - 0.5
 
     pixel_sample = (
         pixel_center

@@ -37,6 +37,7 @@ def render_animation(
     saver_spp_quirk: bool = True,
     mesh=None,
     rng_mode: str = "fixed",
+    stratify: bool = False,
 ):
     """Render `params.num_frames` frames; returns the last framebuffer.
 
@@ -103,7 +104,7 @@ def render_animation(
                 scene, cam, width, height, spp=spp,
                 max_depth=params.render.max_depth, intersector=intersector,
                 reference_quirk=reference_quirk, chunk=chunk, early_exit=early_exit,
-                rng_mode=rng_mode,
+                rng_mode=rng_mode, stratify=stratify,
             )
         # A tiny host fetch is the reliable sync (block_until_ready does
         # not block on some tunneled backends); cudaEvent analog.

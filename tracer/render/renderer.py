@@ -39,8 +39,13 @@ def render_pixels(
     early_exit: bool = False,
     sample_start: int = 0,
     rng_mode: str = "fixed",
+    stratify: bool = False,
 ):
     """Raw sample sums [N, 3] for a flat list of pixels.
+
+    `stratify=True` confines each sample's pixel jitter to its cell of a
+    sqrt(spp) x sqrt(spp) sub-pixel grid (spp must be a perfect square) —
+    lower-variance anti-aliasing than the reference's uniform jitter.
 
     `sample_start` offsets the sample index range to [start, start+spp)
     — used by spp-axis sharding (each device takes a disjoint slice of
@@ -60,9 +65,16 @@ def render_pixels(
         base_seed = jnp.pad(base_seed, (0, pad))
     num_chunks = (n + pad) // chunk
 
+    sqrt_spp = 0
+    if stratify:
+        sqrt_spp = int(round(spp ** 0.5))
+        assert sqrt_spp * sqrt_spp == spp, "stratify requires square spp"
+
     def one_sample(i, j, base, s):
         seed = rng.sample_seed(base, s)
-        seed, origin, direction = camera_mod.get_rays(cam, i, j, seed)
+        seed, origin, direction = camera_mod.get_rays(
+            cam, i, j, seed, sample_index=s if stratify else None, sqrt_spp=sqrt_spp
+        )
         color, _ = integrator.trace(
             scene, cam.background, origin, direction, seed, max_depth,
             intersector=intersector, early_exit=early_exit, rng_mode=rng_mode,
@@ -113,7 +125,7 @@ def pixel_grid(width: int, height: int, reference_quirk: bool = True):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "early_exit", "rng_mode"),
+    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "early_exit", "rng_mode", "stratify"),
 )
 def render_frame(
     scene: Scene,
@@ -127,6 +139,7 @@ def render_frame(
     chunk: int = DEFAULT_CHUNK,
     early_exit: bool = False,
     rng_mode: str = "fixed",
+    stratify: bool = False,
 ):
     """Render one frame; returns [height, width, 3] raw sample sums.
 
@@ -136,7 +149,7 @@ def render_frame(
     fb = render_pixels(
         scene, cam, i_flat, j_flat, base_seed, spp, max_depth,
         intersector=intersector, chunk=chunk, early_exit=early_exit,
-        rng_mode=rng_mode,
+        rng_mode=rng_mode, stratify=stratify,
     )
     return fb.reshape(height, width, 3)
 
