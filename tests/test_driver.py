@@ -118,6 +118,7 @@ class TestStratifiedSampling:
     def test_stratified_variance_reduction(self):
         # edge-on view of a sphere: stratification should reduce the
         # pixel-level MC variance vs uniform jitter.
+        from tracer.render import renderer
         from tracer.scene import types as T
 
         spheres = T.make_spheres([[0, 0, 0.0]], [1.0], [0])
