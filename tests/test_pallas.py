@@ -146,3 +146,18 @@ def test_tile_sizes_agree(tile_px):
     )
     diff = np.abs(got - ref).max(axis=-1)
     assert (diff < 1e-3).mean() > 0.99, f"tile {tile_px}: max {diff.max()}"
+
+
+def test_stratified_megakernel_matches_xla():
+    scene = _scene()
+    w, h = 16, 8
+    cam = _cam(w, h)
+    ref = np.asarray(
+        renderer.render_frame(scene, cam, w, h, spp=4, max_depth=3, chunk=128, stratify=True)
+    )
+    got = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=4, max_depth=3, interpret=True, stratify=True
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -506,6 +506,7 @@ def _kernel(
     width: int,
     num_pixels: int,
     quirk: bool,
+    strat_k: int = 0,
 ):
     if clustered:
         cbox_ref, proj_ref, const_ref, join_ref, out_ref = refs
@@ -536,8 +537,17 @@ def _kernel(
         seed = _wang_hash(base_seed + s.astype(_U))
         seed, ux = _rand(seed)
         seed, uy = _rand(seed)
-        offx = ux - 0.5
-        offy = uy - 0.5
+        if strat_k:
+            # stratified cell (s % k, s // k); scalar cell, vector jitter
+            kf = jnp.float32(strat_k)
+            sf = s.astype(jnp.float32)
+            cell_x = jnp.mod(sf, kf)
+            cell_y = jnp.floor(sf / kf)
+            offx = (cell_x + ux) / kf - 0.5
+            offy = (cell_y + uy) / kf - 0.5
+        else:
+            offx = ux - 0.5
+            offy = uy - 0.5
         pcx = p00x + i_px * dux + j_px * dvx
         pcy = p00y + i_px * duy + j_px * dvy
         pcz = p00z + i_px * duz + j_px * dvz
@@ -618,6 +628,7 @@ def render_frame_pallas(
     interpret: bool = False,
     cluster_k: int = 0,
     tile_px: int = 1024,
+    stratify: bool = False,
 ):
     """Render one frame with the fused megakernel.
 
@@ -633,6 +644,10 @@ def render_frame_pallas(
     """
     assert scene.textures is None, "megakernel: textured scenes use the XLA path"
     assert tile_px % 128 == 0 and tile_px >= 128
+    strat_k = 0
+    if stratify:
+        strat_k = int(round(spp ** 0.5))
+        assert strat_k * strat_k == spp, "stratify requires square spp"
     num_pixels = width * height
     grid = (num_pixels + tile_px - 1) // tile_px
 
@@ -649,6 +664,7 @@ def render_frame_pallas(
 
     common = dict(
         tile_px=tile_px,
+        strat_k=strat_k,
         spp=spp,
         max_depth=max_depth,
         width=width,

@@ -89,6 +89,7 @@ def render_animation(
                 max_depth=params.render.max_depth,
                 reference_quirk=reference_quirk,
                 interpret=jax.default_backend() == "cpu",
+                stratify=stratify,
             )
         elif mesh is not None:
             from tracer.dist import sharding
