@@ -111,3 +111,48 @@ class TestSaverSppQuirk:
         driver.render_animation(scene, params, out=_io.StringIO(), saver_spp_quirk=False)
         got_fixed = img.read_binary(str(tmp_path / "c_0.bin"))
         np.testing.assert_array_equal(got_fixed, img.quantize(fb, 4))  # / spp
+
+
+class TestNativeAsyncWriter:
+    def test_matches_python_writers(self, tmp_path):
+        from tracer.io import native as io_native
+
+        if not io_native.available():
+            import pytest as _pytest
+
+            _pytest.skip("libtracer_io.so not built")
+        g = np.random.default_rng(3)
+        fb = (g.uniform(0, 4, size=(9, 13, 3)) ** 2).astype(np.float32)
+        with io_native.AsyncFrameWriter() as w:
+            w.submit(str(tmp_path / "n.bin"), fb, 4, fmt="bin")
+            w.submit(str(tmp_path / "n.ppm"), fb, 4, fmt="ppm")
+            w.wait()
+        img.write_binary(str(tmp_path / "p.bin"), fb, 4)
+        img.write_ppm(str(tmp_path / "p.ppm"), fb, 4)
+        assert open(tmp_path / "n.bin", "rb").read() == open(tmp_path / "p.bin", "rb").read()
+        assert open(tmp_path / "n.ppm").read() == open(tmp_path / "p.ppm").read()
+
+    def test_driver_uses_async_writer(self, tmp_path):
+        import io as _io
+
+        from tracer.io import native as io_native
+        from tracer.render import driver
+        from tracer.scene import builders, config
+
+        if not io_native.available():
+            import pytest as _pytest
+
+            _pytest.skip("libtracer_io.so not built")
+        params = config.read_scene_params(_io.StringIO(config.smoke_config_text()))
+        params.width, params.height = 12, 8
+        params.num_frames = 3
+        params.render.sqrt_rays_per_pixel = 1
+        params.render.max_depth = 2
+        params.output_path = str(tmp_path / "a_%d.bin")
+        scene = builders.create_scene(params, texture_loader=lambda _: None)
+        fb = driver.render_animation(scene, params, out=_io.StringIO())
+        for n in range(3):
+            assert (tmp_path / f"a_{n}.bin").exists()
+        # last frame content matches the quantize of the returned fb
+        back = img.read_binary(str(tmp_path / "a_2.bin"))
+        np.testing.assert_array_equal(back, img.quantize(fb, 1))

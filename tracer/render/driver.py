@@ -65,6 +65,20 @@ def render_animation(
     writer = image_io.SAVERS[saver]
     rays = renderer.total_rays(width, height, sqrt_spp)
 
+    # Native async writer: quantize + encode + disk write happen on a C++
+    # background thread so the accelerator starts frame n+1 while frame n
+    # is being written (the reference writes synchronously in-loop,
+    # camera.cu:211-215). PNG falls back to the Python writer.
+    async_writer = None
+    if saver in ("bin", "ppm"):
+        try:
+            from tracer.io import native as io_native
+
+            if io_native.available():
+                async_writer = io_native.AsyncFrameWriter()
+        except Exception:
+            async_writer = None
+
     fb = None
     frame_iter = range(params.num_frames) if frames is None else frames
     for n in frame_iter:
@@ -118,5 +132,11 @@ def render_animation(
             filename = params.output_path % n  # snprintf(path, n), camera.cu:298-300
         except TypeError:
             filename = params.output_path
-        writer(filename, fb, saver_divisor)
+        if async_writer is not None:
+            async_writer.submit(filename, fb, saver_divisor, fmt=saver)
+        else:
+            writer(filename, fb, saver_divisor)
+    if async_writer is not None:
+        async_writer.wait()
+        async_writer.close()
     return fb
