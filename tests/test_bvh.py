@@ -91,3 +91,34 @@ class TestTraversal:
             renderer.render_frame(scene, cam, 24, 16, spp=2, max_depth=4, intersector="bvh", chunk=384)
         )
         np.testing.assert_allclose(fb_v, fb_b, atol=1e-4)
+
+
+class TestNativeBuilder:
+    def test_native_matches_numpy_invariants(self):
+        from tracer.bvh import native
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("libtracer_bvh.so not built (make -C tracer/bvh/native)")
+        g = np.random.default_rng(5)
+        n = 300
+        lo = g.normal(size=(n, 3)).astype(np.float32)
+        hi = lo + g.uniform(0.1, 1, size=(n, 3)).astype(np.float32)
+        cent = (lo + hi) / 2
+        kind = (g.uniform(size=n) > 0.5).astype(np.int32)
+        idx = np.arange(n, dtype=np.int32)
+        out_c = native.build_bvh(lo, hi, cent, kind, idx)
+        out_py = bb.build_bvh_numpy(lo, hi, cent, kind, idx)
+        assert out_c[2].shape == out_py[2].shape == (2 * n - 1,)
+        # same root box; same leaf multiset; child-containment on both
+        np.testing.assert_allclose(out_c[0][0], out_py[0][0])
+        np.testing.assert_allclose(out_c[1][0], out_py[1][0])
+        for bmin, bmax, left, right, nkind, _ in (out_c, out_py):
+            leaves = left < 0
+            assert leaves.sum() == n
+            assert sorted(right[leaves].tolist()) == sorted((idx[kind == 0].tolist() + idx[kind == 1].tolist()))
+            for node in np.where(~leaves)[0][:80]:
+                for ch in (left[node], right[node]):
+                    assert (bmin[node] <= bmin[ch] + 1e-5).all()
+                    assert (bmax[node] >= bmax[ch] - 1e-5).all()

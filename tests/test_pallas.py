@@ -5,6 +5,7 @@ near-exact (f32 reassociation only).
 """
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -161,3 +162,23 @@ def test_stratified_megakernel_matches_xla():
         )
     )
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_clustered_megakernel_500_spheres():
+    """Packet culling at scale: 500-sphere scene vs the XLA renderer."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__)) if False else None
+    from test_scale import _big_scene
+
+    scene = _big_scene(500)._replace(bvh=None)
+    w, h = 16, 8
+    cam = C.build_camera_data([0, -40, 10], [0, 0, 2], w, h, 50.0, background=(0.2, 0.3, 0.5))
+    ref = np.asarray(renderer.render_frame(scene, cam, w, h, spp=1, max_depth=3, chunk=128))
+    got = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=1, max_depth=3, interpret=True, cluster_k=16
+        )
+    )
+    diff = np.abs(got - ref).max(axis=-1)
+    assert (diff < 1e-3).mean() > 0.99, f"max {diff.max()}"
