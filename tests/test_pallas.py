@@ -57,12 +57,35 @@ def test_megakernel_partial_tile():
     assert (diff < 1e-3).mean() > 0.98, f"max {diff.max()}"
 
 
-def test_megakernel_rejects_textures():
+def test_megakernel_rejects_oversized_textures():
     import jax.numpy as jnp
 
-    scene = _scene()._replace(textures=jnp.zeros((1, 4, 4, 3)))
+    big = megakernel.MAX_TEX_DIM + 1
+    scene = _scene()._replace(textures=jnp.zeros((1, big, 8, 3)))
     with pytest.raises(AssertionError):
         megakernel.render_frame_pallas(scene, _cam(8, 8), 8, 8, spp=1, max_depth=2, interpret=True)
+
+
+@pytest.mark.parametrize("cluster_k", [0, 8])
+def test_megakernel_textured_matches_xla(cluster_k):
+    """In-kernel bilinear texture fetch (one-hot matmuls) vs the XLA
+    sampler — exact tex2D_cpu semantics on both sides."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(__file__))
+    from test_parity import _full_scene
+
+    scene, _ = _full_scene(with_texture=True)  # 8x8 texture on the floor metal
+    w, h = 16, 12
+    cam = _cam(w, h)
+    ref = np.asarray(renderer.render_frame(scene, cam, w, h, spp=2, max_depth=4, chunk=192))
+    got = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=2, max_depth=4, interpret=True, cluster_k=cluster_k
+        )
+    )
+    diff = np.abs(got - ref).max(axis=-1)
+    assert (diff < 1e-3).mean() > 0.99, f"max {diff.max()}, frac {(diff < 1e-3).mean()}"
 
 
 def test_diff_megakernel_grads_match_xla():

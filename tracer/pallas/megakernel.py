@@ -60,7 +60,10 @@ J_MTYPE, J_FUZZ, J_IR = 8, 9, 10
 J_ABS0, J_ABS1, J_ABS2 = 11, 12, 13
 J_ALB0, J_ALB1, J_ALB2 = 14, 15, 16
 J_EMI0, J_EMI1, J_EMI2 = 17, 18, 19
+J_TEXID = 20
 JROWS = 24  # padded to a sublane multiple
+
+MAX_TEX_DIM = 256  # in-kernel texture cap (bilinear one-hot matmul cost)
 
 T_MIN = 1e-3  # camera.cu:226 (Interval(0.001f, 1e30f))
 T_MAX = 1e30
@@ -146,6 +149,8 @@ def pack_scene(scene: Scene):
         ]
     )
     join = join.at[J_MTYPE : J_MTYPE + 12, :n].set(mat_rows)
+    join = join.at[J_TEXID, :].set(-1.0)
+    join = join.at[J_TEXID, :n].set(mats.tex_id[midx].astype(jnp.float32))
     return proj, const, join, num_s, num_p, n_pad, npack
 
 
@@ -222,7 +227,8 @@ def _unified_ts(po, pd, const_block, a, od, oo, k):
     ok_p = denom_ok & (root >= T_MIN) & (root <= T_MAX) & interior
     t_p = jnp.where(ok_p, root, K_INFINITY)
 
-    return jnp.where(kind == 0.0, t_s, jnp.where(kind == 1.0, t_p, K_INFINITY))
+    t = jnp.where(kind == 0.0, t_s, jnp.where(kind == 1.0, t_p, K_INFINITY))
+    return t, alpha, beta_uv
 
 
 def _winner_join(t_blk, join_blk, iota_k, k):
@@ -231,7 +237,7 @@ def _winner_join(t_blk, join_blk, iota_k, k):
     widx = jnp.min(jnp.where(t_blk == t_best, iota_k, k), axis=0, keepdims=True)
     onehot = (iota_k == widx).astype(jnp.float32)
     rec = jnp.dot(join_blk, onehot, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-    return t_best, rec
+    return t_best, rec, onehot
 
 
 def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *, num_s, num_p, n_pad, tile_px):
@@ -280,7 +286,15 @@ def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *, num_s,
     t_all = jnp.concatenate(t_parts, axis=0) if len(t_parts) > 1 else t_parts[0]
 
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
-    return _winner_join(t_all, join_ref[:], iota_n, n_pad)
+    t_best, rec, onehot = _winner_join(t_all, join_ref[:], iota_n, n_pad)
+    if num_p:
+        oh_p = onehot[num_s:n]
+        pu = jnp.sum(oh_p * alpha, axis=0, keepdims=True)
+        pv = jnp.sum(oh_p * beta_uv, axis=0, keepdims=True)
+    else:
+        pu = jnp.zeros_like(t_best)
+        pv = jnp.zeros_like(t_best)
+    return t_best, rec, pu, pv
 
 
 def _intersect_clustered(
@@ -297,7 +311,7 @@ def _intersect_clustered(
     ivx, ivy, ivz = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
 
     def body(c, carry):
-        t_glob, rec_glob = carry
+        t_glob, rec_glob, pu_glob, pv_glob = carry
         # cluster AABB scalars (SMEM)
         lox, loy, loz = cbox_ref[c, 0], cbox_ref[c, 1], cbox_ref[c, 2]
         hix, hiy, hiz = cbox_ref[c, 3], cbox_ref[c, 4], cbox_ref[c, 5]
@@ -328,20 +342,54 @@ def _intersect_clustered(
                 preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
             )
             cb = const_ref[pl.ds(c * k, k), :]
-            t_blk = _unified_ts(po, pd, cb, a, od, oo, k)
+            t_blk, alpha, beta_uv = _unified_ts(po, pd, cb, a, od, oo, k)
             jb = join_ref[:, pl.ds(c * k, k)]
-            t_c, rec_c = _winner_join(t_blk, jb, iota_k, k)
+            t_c, rec_c, onehot = _winner_join(t_blk, jb, iota_k, k)
+            pu_c = jnp.sum(onehot * alpha, axis=0, keepdims=True)
+            pv_c = jnp.sum(onehot * beta_uv, axis=0, keepdims=True)
             better = t_c < t_glob
             return (
                 jnp.where(better, t_c, t_glob),
                 jnp.where(better, rec_c, rec_glob),
+                jnp.where(better, pu_c, pu_glob),
+                jnp.where(better, pv_c, pv_glob),
             )
 
-        return jax.lax.cond(any_hit, visit, lambda: (t_glob, rec_glob))
+        return jax.lax.cond(any_hit, visit, lambda: (t_glob, rec_glob, pu_glob, pv_glob))
 
     t0 = jnp.full((1, tile_px), K_INFINITY, jnp.float32)
     rec0 = jnp.zeros((JROWS, tile_px), jnp.float32).at[J_RAD].set(1.0)
-    return jax.lax.fori_loop(0, num_clusters, body, (t0, rec0))
+    rec0 = rec0.at[J_TEXID].set(-1.0)
+    uv0 = jnp.zeros((1, tile_px), jnp.float32)
+    return jax.lax.fori_loop(0, num_clusters, body, (t0, rec0, uv0, uv0))
+
+
+def _sample_texture(texr_ref, texg_ref, texb_ref, u, v, th, tw):
+    """Bilinear texture fetch with tex2D_cpu semantics (materials.h:20-51)
+    as two one-hot MXU contractions per channel: wrap addressing, v flip,
+    truncation, neighbor wrap. u/v are flat (1, T); returns 3 x (1, T)."""
+    hp = jax.lax.Precision.HIGHEST
+    u = u - jnp.floor(u)
+    v = v - jnp.floor(v)
+    px = u * tw
+    py = (1.0 - v) * th
+    x0 = jnp.minimum(px.astype(jnp.int32), tw - 1)
+    y0 = jnp.minimum(py.astype(jnp.int32), th - 1)
+    x1 = jnp.mod(x0 + 1, tw)
+    y1 = jnp.mod(y0 + 1, th)
+    dx = px - x0.astype(jnp.float32)
+    dy = py - y0.astype(jnp.float32)
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (texr_ref.shape[1], 1), 0)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (texr_ref.shape[0], 1), 0)
+    rx = jnp.where(iota_w == x0, 1.0 - dx, 0.0) + jnp.where(iota_w == x1, dx, 0.0)
+    ry = jnp.where(iota_h == y0, 1.0 - dy, 0.0) + jnp.where(iota_h == y1, dy, 0.0)
+
+    out = []
+    for ref in (texr_ref, texg_ref, texb_ref):
+        col = jnp.dot(ref[:], rx, preferred_element_type=jnp.float32, precision=hp)
+        out.append(jnp.sum(ry * col, axis=0, keepdims=True))
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -350,7 +398,8 @@ def _intersect_clustered(
 # ----------------------------------------------------------------------
 
 
-def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg, to_px):
+def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg, to_px,
+           pu=None, pv=None, tex_refs=None, flat=None):
     # `to_px` reshapes a flat (1, T) intersection row into the kernel's
     # pixel-tile shape (identity for 128-px tiles, (1,1024)->(8,128) for
     # big tiles so shading runs at full sublane utilization).
@@ -380,6 +429,31 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
     front = dn < 0.0
     sgn = jnp.where(front, 1.0, -1.0)
     nx, ny, nz = onx * sgn, ony * sgn, onz * sgn
+
+    # texture-modulated albedo (camera.cu:233-236; tex2D_cpu parity),
+    # skipped with a scalar branch when no lane in the tile is textured
+    if tex_refs is not None:
+        th, tw = tex_refs[0].shape
+        texid = row(J_TEXID)
+        textured = (texid > -0.5) & hit
+        # sphere uv from the OUTWARD normal (sphere.h:16-22)
+        u_s = (jnp.arctan2(-onz, onx) + jnp.pi) / (2.0 * jnp.pi)
+        v_s = jnp.arccos(jnp.clip(ony, -1.0, 1.0)) / jnp.pi
+        u_all = jnp.where(is_sph, u_s, to_px(pu))
+        v_all = jnp.where(is_sph, v_s, to_px(pv))
+
+        def apply_tex():
+            tr, tg, tb = _sample_texture(
+                tex_refs[0], tex_refs[1], tex_refs[2], flat(u_all), flat(v_all), th, tw
+            )
+            m0 = jnp.where(textured, to_px(tr), 1.0)
+            m1 = jnp.where(textured, to_px(tg), 1.0)
+            m2 = jnp.where(textured, to_px(tb), 1.0)
+            return al0 * m0, al1 * m1, al2 * m2
+
+        al0, al1, al2 = jax.lax.cond(
+            jnp.any(textured), apply_tex, lambda: (al0, al1, al2)
+        )
 
     # miss -> background (camera.cu:226-229)
     miss = alive & ~hit
@@ -507,7 +581,13 @@ def _kernel(
     num_pixels: int,
     quirk: bool,
     strat_k: int = 0,
+    has_tex: bool = False,
 ):
+    refs = list(refs)
+    tex_refs = None
+    if has_tex:
+        tex_refs = tuple(refs[-4:-1])
+        del refs[-4:-1]
     if clustered:
         cbox_ref, proj_ref, const_ref, join_ref, out_ref = refs
     else:
@@ -581,14 +661,14 @@ def _kernel(
             oo = ox * ox + oy * oy + oz * oz
 
             if clustered:
-                t_best, rec = _intersect_clustered(
+                t_best, rec, pu, pv = _intersect_clustered(
                     proj_ref, const_ref, join_ref, cbox_ref, o8, d8,
                     flat(a), flat(od), flat(oo),
                     ox, oy, oz, dx, dy, dz, num_clusters=num_clusters, k=k,
                     tile_px=tile_px,
                 )
             else:
-                t_best, rec = _intersect_brute(
+                t_best, rec, pu, pv = _intersect_brute(
                     proj_ref, const_ref, join_ref, o8, d8,
                     flat(a), flat(od), flat(oo),
                     num_s=num_s, num_p=num_p, n_pad=n_pad, tile_px=tile_px,
@@ -597,6 +677,7 @@ def _kernel(
             o3, d3, beta, final, seed, alive = _shade(
                 rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed,
                 alive, (bgr, bgg, bgb), to_px,
+                pu=pu, pv=pv, tex_refs=tex_refs, flat=flat,
             )
             return (depth + 1, o3, d3, beta, final, seed, alive)
 
@@ -633,8 +714,11 @@ def render_frame_pallas(
     """Render one frame with the fused megakernel.
 
     cluster_k = 0 runs the brute-force strategy; > 0 enables packet
-    culling with K-primitive clusters. Returns [height, width, 3] raw
-    sample sums — same contract (and same RNG streams) as
+    culling with K-primitive clusters. Textured scenes are supported for
+    a single texture layer up to MAX_TEX_DIM on a side (bilinear fetch as
+    one-hot MXU contractions, exact tex2D_cpu parity); larger textures
+    raise — callers fall back to the XLA path. Returns [height, width, 3]
+    raw sample sums — same contract (and same RNG streams) as
     renderer.render_frame.
 
     Not wrapped in jax.jit: clustering is host-side NumPy (it must see
@@ -642,7 +726,13 @@ def render_frame_pallas(
     way. The brute path (cluster_k=0) is trace-safe and may be called
     from inside jit (tracer.pallas.diff does).
     """
-    assert scene.textures is None, "megakernel: textured scenes use the XLA path"
+    has_tex = scene.textures is not None
+    if has_tex:
+        assert scene.textures.shape[0] == 1, "megakernel: one texture layer"
+        th, tw = scene.textures.shape[1:3]
+        assert max(th, tw) <= MAX_TEX_DIM, (
+            f"megakernel: texture {th}x{tw} exceeds {MAX_TEX_DIM} — use the XLA path"
+        )
     assert tile_px % 128 == 0 and tile_px >= 128
     strat_k = 0
     if stratify:
@@ -670,6 +760,7 @@ def render_frame_pallas(
         width=width,
         num_pixels=num_pixels,
         quirk=reference_quirk,
+        has_tex=has_tex,
     )
 
     if cluster_k > 0:
@@ -707,6 +798,11 @@ def render_frame_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
         inputs = (params, proj, const, join)
+
+    if has_tex:
+        tex = scene.textures[0]
+        inputs = inputs + (tex[:, :, 0], tex[:, :, 1], tex[:, :, 2])
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
 
     out = pl.pallas_call(
         kernel,

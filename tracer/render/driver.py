@@ -98,13 +98,19 @@ def render_animation(
             from tracer.pallas import megakernel
             import jax
 
-            fb_dev = megakernel.render_frame_pallas(
-                scene, cam, width, height, spp=spp,
-                max_depth=params.render.max_depth,
-                reference_quirk=reference_quirk,
-                interpret=jax.default_backend() == "cpu",
-                stratify=stratify,
-            )
+            try:
+                fb_dev = megakernel.render_frame_pallas(
+                    scene, cam, width, height, spp=spp,
+                    max_depth=params.render.max_depth,
+                    reference_quirk=reference_quirk,
+                    interpret=jax.default_backend() == "cpu",
+                    stratify=stratify,
+                )
+            except AssertionError as e:  # e.g. oversized texture
+                print(f"pallas engine unavailable ({e}); using XLA", file=sys.stderr)
+                engine = "xla"
+        if engine == "pallas":
+            pass  # fb_dev already rendered above
         elif mesh is not None:
             from tracer.dist import sharding
 
