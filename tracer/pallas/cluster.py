@@ -16,7 +16,9 @@ Tables produced (prims permuted cluster-contiguous, each padded to K):
           cross(w,u)
   const_c [C*K, CROWS] per-prim scalars (cc_rr|D, baseA, baseB, ptype,
           kind; kind = -1 marks padding)
-  join_c  [JROWS, C*K] winner-record table
+  join_c  [C*K, JROWS] winner-record table (transposed: cluster slices
+          must be sublane-dim dynamic slices — Mosaic cannot slice the
+          lane dim at K granularity)
   cboxes  [C, 8] cluster AABB lo3+pad, hi3+pad (scalar-read in SMEM)
 """
 
@@ -104,8 +106,9 @@ def pack_clustered(scene: Scene, k: int = 16):
     proj_c = np.zeros((c_count * 3 * k, 8), np.float32)
     const_c = np.zeros((c_count * k, mk.CROWS), np.float32)
     const_c[:, mk.C_KIND] = -1.0
-    join_c = np.zeros((mk.JROWS, c_count * k), np.float32)
-    join_c[mk.J_RAD] = 1.0  # div-safe padding
+    join_c = np.zeros((c_count * k, mk.JROWS), np.float32)
+    join_c[:, mk.J_RAD] = 1.0  # div-safe padding
+    join_c[:, mk.J_TEXID] = -1.0
     cboxes = np.zeros((c_count, 8), np.float32)
 
     for ci, idx in enumerate(groups):
@@ -115,7 +118,7 @@ def pack_clustered(scene: Scene, k: int = 16):
         proj_c[base3 + k : base3 + k + m, :3] = a_rows[idx]
         proj_c[base3 + 2 * k : base3 + 2 * k + m, :3] = b_rows[idx]
         const_c[ci * k : ci * k + m] = const[idx]
-        join_c[:, ci * k : ci * k + m] = join_full[:, idx]
+        join_c[ci * k : ci * k + m, :] = join_full[:, idx].T
         cboxes[ci, 0:3] = lo[idx].min(axis=0)
         cboxes[ci, 3:6] = hi[idx].max(axis=0)
 

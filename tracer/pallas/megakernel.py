@@ -168,9 +168,17 @@ def _wang_hash(seed):
     return seed
 
 
+def _u32_to_f32(x):
+    # Mosaic has no u32->f32 conversion; go through i32 and wrap the
+    # negative half back up. Matches static_cast<float>(uint32)
+    # (random_utils.h:18) up to a possible 1-ulp double-rounding.
+    f = jax.lax.bitcast_convert_type(x, jnp.int32).astype(jnp.float32)
+    return jnp.where(f < 0.0, f + jnp.float32(4294967296.0), f)
+
+
 def _rand(seed):
     seed = _wang_hash(seed)
-    return seed, seed.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+    return seed, _u32_to_f32(seed) * jnp.float32(1.0 / 4294967296.0)
 
 
 def _rand_unit_vector(seed):
@@ -223,7 +231,13 @@ def _unified_ts(po, pd, const_block, a, od, oo, k):
     in_quad = (alpha >= 0.0) & (alpha <= 1.0) & (beta_uv >= 0.0) & (beta_uv <= 1.0)
     in_ell = (alpha - 0.5) ** 2 + (beta_uv - 0.5) ** 2 <= 0.25
     in_tri = (alpha >= 0.0) & (beta_uv >= 0.0) & (alpha + beta_uv <= 1.0)
-    interior = jnp.where(ptype == 0.0, in_quad, jnp.where(ptype == 1.0, in_ell, in_tri))
+    # bool select_n lowers to an unsupported i8->i1 trunc in Mosaic; use
+    # and/or masks instead of jnp.where on booleans
+    interior = (
+        ((ptype == 0.0) & in_quad)
+        | ((ptype == 1.0) & in_ell)
+        | ((ptype >= 2.0) & in_tri)
+    )
     ok_p = denom_ok & (root >= T_MIN) & (root <= T_MAX) & interior
     t_p = jnp.where(ok_p, root, K_INFINITY)
 
@@ -278,7 +292,11 @@ def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *, num_s,
         in_quad = (alpha >= 0.0) & (alpha <= 1.0) & (beta_uv >= 0.0) & (beta_uv <= 1.0)
         in_ell = (alpha - 0.5) ** 2 + (beta_uv - 0.5) ** 2 <= 0.25
         in_tri = (alpha >= 0.0) & (beta_uv >= 0.0) & (alpha + beta_uv <= 1.0)
-        interior = jnp.where(ptype == 0.0, in_quad, jnp.where(ptype == 1.0, in_ell, in_tri))
+        interior = (
+            ((ptype == 0.0) & in_quad)
+            | ((ptype == 1.0) & in_ell)
+            | ((ptype >= 2.0) & in_tri)
+        )
         ok = denom_ok & (root >= T_MIN) & (root <= T_MAX) & interior
         t_parts.append(jnp.where(ok, root, K_INFINITY))
     if n_pad > n:
@@ -343,8 +361,18 @@ def _intersect_clustered(
             )
             cb = const_ref[pl.ds(c * k, k), :]
             t_blk, alpha, beta_uv = _unified_ts(po, pd, cb, a, od, oo, k)
-            jb = join_ref[:, pl.ds(c * k, k)]
-            t_c, rec_c, onehot = _winner_join(t_blk, jb, iota_k, k)
+            # join table is [C*K, JROWS]: dynamic slices must be on the
+            # sublane dim; contract over K with dot_general (lhs dim 0)
+            jb = join_ref[pl.ds(c * k, k), :]
+            t_best_c = jnp.min(t_blk, axis=0, keepdims=True)
+            widx = jnp.min(jnp.where(t_blk == t_best_c, iota_k, k), axis=0, keepdims=True)
+            onehot = (iota_k == widx).astype(jnp.float32)
+            rec_c = jax.lax.dot_general(
+                jb, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            t_c = t_best_c
             pu_c = jnp.sum(onehot * alpha, axis=0, keepdims=True)
             pv_c = jnp.sum(onehot * beta_uv, axis=0, keepdims=True)
             better = t_c < t_glob
@@ -358,8 +386,12 @@ def _intersect_clustered(
         return jax.lax.cond(any_hit, visit, lambda: (t_glob, rec_glob, pu_glob, pv_glob))
 
     t0 = jnp.full((1, tile_px), K_INFINITY, jnp.float32)
-    rec0 = jnp.zeros((JROWS, tile_px), jnp.float32).at[J_RAD].set(1.0)
-    rec0 = rec0.at[J_TEXID].set(-1.0)
+    # .at[].set lowers to an unsupported scatter in Mosaic; build the
+    # initial record with an iota mask instead
+    rrow = jax.lax.broadcasted_iota(jnp.int32, (JROWS, tile_px), 0)
+    rec0 = jnp.where(
+        rrow == J_RAD, 1.0, jnp.where(rrow == J_TEXID, -1.0, 0.0)
+    ).astype(jnp.float32)
     uv0 = jnp.zeros((1, tile_px), jnp.float32)
     return jax.lax.fori_loop(0, num_clusters, body, (t0, rec0, uv0, uv0))
 
@@ -477,7 +509,9 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
     hx, hy, hz = hx * hsgn, hy * hsgn, hz * hsgn  # hemisphere
     seed, (ballx, bally, ballz) = _rand_unit_vector(seed)
     seed, u_ball = _rand(seed)
-    br = jnp.cbrt(u_ball)
+    # Mosaic has no cbrt; exp(log(u)/3) matches jnp.cbrt to ~1 ulp on
+    # (0, 1) and maps u = 0 to ~0 via the clamp.
+    br = jnp.exp(jnp.log(jnp.maximum(u_ball, 1e-38)) * jnp.float32(1.0 / 3.0))
     ballx, bally, ballz = ballx * br, bally * br, ballz * br
     seed, u_refl = _rand(seed)
     seed, u_rr = _rand(seed)
@@ -498,7 +532,7 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
     metx = jnp.where(spec, rx, lamx)
     mety = jnp.where(spec, ry, lamy)
     metz = jnp.where(spec, rz, lamz)
-    met_ok = jnp.where(spec, rx * nx + ry * ny + rz * nz > 0.0, True)
+    met_ok = ~spec | (rx * nx + ry * ny + rz * nz > 0.0)  # no bool select_n
 
     ratio = jnp.where(front, 1.0 / ir, ir)
     cos_t = jnp.minimum(-uddn, 1.0)
@@ -543,9 +577,7 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
     at0 = jnp.where(is_die, da0, al0)
     at1 = jnp.where(is_die, da1, al1)
     at2 = jnp.where(is_die, da2, al2)
-    ok = jnp.where(
-        is_lam, True, jnp.where(is_met, met_ok, jnp.where(is_die, die_ok, False))
-    )
+    ok = is_lam | (is_met & met_ok) | (is_die & die_ok)  # no bool select_n
 
     live = active & ok
     b0 = jnp.where(live, b0 * at0, b0)
@@ -601,16 +633,19 @@ def _kernel(
     lin = pid * tile_px + sub * 128 + lane
     valid = lin < num_pixels
     lin = jnp.minimum(lin, num_pixels - 1)
-    i_px = (lin % width).astype(jnp.float32)  # column
-    j_px = (lin // width).astype(jnp.float32)  # row
+    i_int = lin % width  # column (i32)
+    j_int = lin // width  # row
+    i_px = i_int.astype(jnp.float32)
+    j_px = j_int.astype(jnp.float32)
 
     p = [params_ref[0, idx] for idx in range(15)]
     (ox0, oy0, oz0, p00x, p00y, p00z, dux, duy, duz, dvx, dvy, dvz,
      bgr, bgg, bgb) = p
 
+    # integer->uint32 only (Mosaic has no f32->u32 cast)
     iu = lin.astype(_U)
     wu = _U(width)
-    base_lin = (i_px.astype(_U) * wu + j_px.astype(_U)) if quirk else iu
+    base_lin = (i_int.astype(_U) * wu + j_int.astype(_U)) if quirk else iu
     base_seed = _wang_hash(base_lin)
 
     def one_sample(s, acc):
@@ -641,14 +676,17 @@ def _kernel(
         beta = (jnp.ones_like(dx), jnp.ones_like(dx), jnp.ones_like(dx))
         final = (jnp.zeros_like(dx), jnp.zeros_like(dx), jnp.zeros_like(dx))
 
+        # the while carry holds the liveness mask as int32: Mosaic cannot
+        # legalize vector<i1> loop carries
         def cond(st):
-            return (st[0] < max_depth) & jnp.any(st[6])
+            return (st[0] < max_depth) & (jnp.max(st[6]) > 0)
 
         flat = lambda x: x.reshape(1, tile_px)
         to_px = lambda r: r.reshape(ps)
 
         def bounce(st):
-            depth, (ox, oy, oz), (dx, dy, dz), beta, final, seed, alive = st
+            depth, (ox, oy, oz), (dx, dy, dz), beta, final, seed, alive_i = st
+            alive = alive_i != 0
 
             o8 = jnp.concatenate(
                 [flat(ox), flat(oy), flat(oz), jnp.zeros((5, tile_px), jnp.float32)], axis=0
@@ -679,9 +717,10 @@ def _kernel(
                 alive, (bgr, bgg, bgb), to_px,
                 pu=pu, pv=pv, tex_refs=tex_refs, flat=flat,
             )
-            return (depth + 1, o3, d3, beta, final, seed, alive)
+            return (depth + 1, o3, d3, beta, final, seed, alive.astype(jnp.int32))
 
-        st = (jnp.int32(0), (ox, oy, oz), (dx, dy, dz), beta, final, seed, valid)
+        st = (jnp.int32(0), (ox, oy, oz), (dx, dy, dz), beta, final, seed,
+              valid.astype(jnp.int32))
         st = jax.lax.while_loop(cond, bounce, st)
         f0, f1, f2 = st[4]
         a0, a1, a2 = acc
