@@ -51,7 +51,8 @@ def _measure() -> int:
         from tracer.pallas import megakernel
 
         fb = megakernel.render_frame_pallas(
-            scene, cam, WIDTH, HEIGHT, spp=SPP, max_depth=DEPTH, cluster_k=16
+            scene, cam, WIDTH, HEIGHT, spp=SPP, max_depth=DEPTH,
+            tile_px=128,  # 128-px tiles exit the bounce loop most coherently
         )
         float(fb[0, 0, 0])  # reliable sync (tiny host fetch)
         return fb

@@ -737,6 +737,30 @@ def _kernel(
     out_ref[2:3, :] = acc[2].reshape(1, tile_px)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
+        "tile_px", "stratify",
+    ),
+)
+def _render_brute_jit(
+    scene, cam, width, height, spp, max_depth, reference_quirk, interpret,
+    tile_px, stratify,
+):
+    """Whole brute path (packing included) under one jit: repeat frames
+    dispatch ONE remote call instead of ~30 tiny eager ops (the eager
+    glue cost ~0.85s/frame through the tunneled backend)."""
+    return _render_frame_impl(
+        scene, cam, width, height, spp, max_depth, reference_quirk,
+        interpret, 0, tile_px, stratify, None,
+    )
+
+
+# clustered tables are packed host-side (NumPy); cache them per scene
+_CLUSTER_TABLE_CACHE = {}
+
+
 def render_frame_pallas(
     scene: Scene,
     cam,
@@ -760,15 +784,62 @@ def render_frame_pallas(
     raw sample sums — same contract (and same RNG streams) as
     renderer.render_frame.
 
-    Not wrapped in jax.jit: clustering is host-side NumPy (it must see
-    concrete scene arrays), and pallas_call compiles the kernel either
-    way. The brute path (cluster_k=0) is trace-safe and may be called
-    from inside jit (tracer.pallas.diff does).
+    The brute path runs fully under jit (packing is trace-safe), so
+    repeat frames cost one dispatch. The clustered path packs host-side
+    NumPy tables once per (scene, k) — cached by scene identity — and
+    jits the rest.
     """
-    has_tex = scene.textures is not None
+    if cluster_k == 0:
+        return _render_brute_jit(
+            scene, cam, width, height, spp, max_depth, reference_quirk,
+            interpret, tile_px, stratify,
+        )
+    key = (id(scene), cluster_k)
+    cached = _CLUSTER_TABLE_CACHE.get(key)
+    if cached is None or cached[0] is not scene:
+        from tracer.pallas import cluster as cluster_mod
+
+        tables = cluster_mod.pack_clustered(scene, k=cluster_k)
+        if len(_CLUSTER_TABLE_CACHE) > 16:
+            _CLUSTER_TABLE_CACHE.clear()
+        _CLUSTER_TABLE_CACHE[key] = (scene, tables)
+    else:
+        tables = cached[1]
+    return _render_clustered_jit(
+        tables["cboxes"], tables["proj"], tables["const"], tables["join"],
+        scene.textures, cam, width, height, spp, max_depth, reference_quirk,
+        interpret, tables["num_clusters"], tables["k"], tile_px, stratify,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
+        "num_clusters", "k", "tile_px", "stratify",
+    ),
+)
+def _render_clustered_jit(
+    cboxes, proj, const, join, textures, cam, width, height, spp, max_depth,
+    reference_quirk, interpret, num_clusters, k, tile_px, stratify,
+):
+    tables = dict(cboxes=cboxes, proj=proj, const=const, join=join,
+                  num_clusters=num_clusters, k=k)
+    return _render_frame_impl(
+        None, cam, width, height, spp, max_depth, reference_quirk,
+        interpret, k, tile_px, stratify, tables, textures=textures,
+    )
+
+
+def _render_frame_impl(
+    scene, cam, width, height, spp, max_depth, reference_quirk,
+    interpret, cluster_k, tile_px, stratify, tables, textures=None,
+):
+    tex_src = scene.textures if scene is not None else textures
+    has_tex = tex_src is not None
     if has_tex:
-        assert scene.textures.shape[0] == 1, "megakernel: one texture layer"
-        th, tw = scene.textures.shape[1:3]
+        assert tex_src.shape[0] == 1, "megakernel: one texture layer"
+        th, tw = tex_src.shape[1:3]
         assert max(th, tw) <= MAX_TEX_DIM, (
             f"megakernel: texture {th}x{tw} exceeds {MAX_TEX_DIM} — use the XLA path"
         )
@@ -803,9 +874,7 @@ def render_frame_pallas(
     )
 
     if cluster_k > 0:
-        from tracer.pallas import cluster as cluster_mod
-
-        tables = cluster_mod.pack_clustered(scene, k=cluster_k)
+        assert tables is not None  # packed by the caller (cached per scene)
         kernel = functools.partial(
             _kernel,
             clustered=True,
@@ -839,7 +908,7 @@ def render_frame_pallas(
         inputs = (params, proj, const, join)
 
     if has_tex:
-        tex = scene.textures[0]
+        tex = tex_src[0]
         inputs = inputs + (tex[:, :, 0], tex[:, :, 1], tex[:, :, 2])
         in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
 
