@@ -205,3 +205,19 @@ def test_clustered_megakernel_500_spheres():
     )
     diff = np.abs(got - ref).max(axis=-1)
     assert (diff < 1e-3).mean() > 0.99, f"max {diff.max()}"
+
+
+def test_sample_major_matches_default():
+    scene = _scene()
+    w, h = 40, 30
+    cam = _cam(w, h)
+    ref = np.asarray(
+        megakernel.render_frame_pallas(scene, cam, w, h, spp=5, max_depth=4, interpret=True, tile_px=128)
+    )
+    got = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=5, max_depth=4, interpret=True, tile_px=128, sample_block=8
+        )
+    )
+    # same per-sample streams, different accumulation order
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

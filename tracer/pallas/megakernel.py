@@ -614,6 +614,7 @@ def _kernel(
     quirk: bool,
     strat_k: int = 0,
     has_tex: bool = False,
+    sample_block: int = 1,
 ):
     refs = list(refs)
     tex_refs = None
@@ -627,12 +628,26 @@ def _kernel(
         cbox_ref = None
 
     pid = pl.program_id(0)
-    ps = (tile_px // 128, 128)  # pixel-tile shape: (1,128) or (8,128)
-    sub = jax.lax.broadcasted_iota(jnp.int32, ps, 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, ps, 1)
-    lin = pid * tile_px + sub * 128 + lane
-    valid = lin < num_pixels
-    lin = jnp.minimum(lin, num_pixels - 1)
+    if sample_block > 1:
+        # sample-major: the tile is 128 PIXELS x sample_block concurrent
+        # SAMPLES (sublane dim). Samples of the same pixel share primary
+        # geometry, so the per-tile bounce loop stays exit-coherent while
+        # every op runs at full (8, 128) sublane utilization.
+        assert tile_px == 128
+        ps = (sample_block, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        lin = pid * 128 + lane  # (1, 128) pixel ids, broadcast over samples
+        valid_px = lin < num_pixels
+        lin = jnp.minimum(lin, num_pixels - 1)
+        s_off = jax.lax.broadcasted_iota(jnp.int32, (sample_block, 1), 0)
+    else:
+        ps = (tile_px // 128, 128)  # pixel-tile shape: (1,128) or (8,128)
+        sub = jax.lax.broadcasted_iota(jnp.int32, ps, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, ps, 1)
+        lin = pid * tile_px + sub * 128 + lane
+        valid = lin < num_pixels
+        lin = jnp.minimum(lin, num_pixels - 1)
+        s_off = None
     i_int = lin % width  # column (i32)
     j_int = lin // width  # row
     i_px = i_int.astype(jnp.float32)
@@ -648,7 +663,14 @@ def _kernel(
     base_lin = (i_int.astype(_U) * wu + j_int.astype(_U)) if quirk else iu
     base_seed = _wang_hash(base_lin)
 
+    flat_n = ps[0] * 128  # elements per tile (pixels x samples)
+
     def one_sample(s, acc):
+        if sample_block > 1:
+            s = s * sample_block + s_off  # (SPB, 1) sample indices
+            valid_t = valid_px & (s < spp)
+        else:
+            valid_t = valid
         seed = _wang_hash(base_seed + s.astype(_U))
         seed, ux = _rand(seed)
         seed, uy = _rand(seed)
@@ -669,9 +691,12 @@ def _kernel(
         dx = pcx + offx * dux + offy * dvx - ox0
         dy = pcy + offx * duy + offy * dvy - oy0
         dz = pcz + offx * duz + offy * dvz - oz0
-        ox = jnp.broadcast_to(ox0, dx.shape)
-        oy = jnp.broadcast_to(oy0, dx.shape)
-        oz = jnp.broadcast_to(oz0, dx.shape)
+        ox = jnp.broadcast_to(ox0, ps)
+        oy = jnp.broadcast_to(oy0, ps)
+        oz = jnp.broadcast_to(oz0, ps)
+        dx = jnp.broadcast_to(dx, ps)
+        dy = jnp.broadcast_to(dy, ps)
+        dz = jnp.broadcast_to(dz, ps)
 
         beta = (jnp.ones_like(dx), jnp.ones_like(dx), jnp.ones_like(dx))
         final = (jnp.zeros_like(dx), jnp.zeros_like(dx), jnp.zeros_like(dx))
@@ -681,7 +706,7 @@ def _kernel(
         def cond(st):
             return (st[0] < max_depth) & (jnp.max(st[6]) > 0)
 
-        flat = lambda x: x.reshape(1, tile_px)
+        flat = lambda x: jnp.broadcast_to(x, ps).reshape(1, flat_n)
         to_px = lambda r: r.reshape(ps)
 
         def bounce(st):
@@ -689,10 +714,10 @@ def _kernel(
             alive = alive_i != 0
 
             o8 = jnp.concatenate(
-                [flat(ox), flat(oy), flat(oz), jnp.zeros((5, tile_px), jnp.float32)], axis=0
+                [flat(ox), flat(oy), flat(oz), jnp.zeros((5, flat_n), jnp.float32)], axis=0
             )
             d8 = jnp.concatenate(
-                [flat(dx), flat(dy), flat(dz), jnp.zeros((5, tile_px), jnp.float32)], axis=0
+                [flat(dx), flat(dy), flat(dz), jnp.zeros((5, flat_n), jnp.float32)], axis=0
             )
             a = dx * dx + dy * dy + dz * dz
             od = ox * dx + oy * dy + oz * dz
@@ -703,13 +728,13 @@ def _kernel(
                     proj_ref, const_ref, join_ref, cbox_ref, o8, d8,
                     flat(a), flat(od), flat(oo),
                     ox, oy, oz, dx, dy, dz, num_clusters=num_clusters, k=k,
-                    tile_px=tile_px,
+                    tile_px=flat_n,
                 )
             else:
                 t_best, rec, pu, pv = _intersect_brute(
                     proj_ref, const_ref, join_ref, o8, d8,
                     flat(a), flat(od), flat(oo),
-                    num_s=num_s, num_p=num_p, n_pad=n_pad, tile_px=tile_px,
+                    num_s=num_s, num_p=num_p, n_pad=n_pad, tile_px=flat_n,
                 )
 
             o3, d3, beta, final, seed, alive = _shade(
@@ -720,7 +745,7 @@ def _kernel(
             return (depth + 1, o3, d3, beta, final, seed, alive.astype(jnp.int32))
 
         st = (jnp.int32(0), (ox, oy, oz), (dx, dy, dz), beta, final, seed,
-              valid.astype(jnp.int32))
+              jnp.broadcast_to(valid_t, ps).astype(jnp.int32))
         st = jax.lax.while_loop(cond, bounce, st)
         f0, f1, f2 = st[4]
         a0, a1, a2 = acc
@@ -731,29 +756,36 @@ def _kernel(
         jnp.zeros(ps, jnp.float32),
         jnp.zeros(ps, jnp.float32),
     )
-    acc = jax.lax.fori_loop(0, spp, one_sample, acc)
-    out_ref[0:1, :] = acc[0].reshape(1, tile_px)
-    out_ref[1:2, :] = acc[1].reshape(1, tile_px)
-    out_ref[2:3, :] = acc[2].reshape(1, tile_px)
+    n_iters = pl.cdiv(spp, sample_block) if sample_block > 1 else spp
+    acc = jax.lax.fori_loop(0, n_iters, one_sample, acc)
+    if sample_block > 1:
+        # reduce the concurrent-sample sublanes into the 128-px row
+        out_ref[0:1, :] = jnp.sum(acc[0], axis=0, keepdims=True)
+        out_ref[1:2, :] = jnp.sum(acc[1], axis=0, keepdims=True)
+        out_ref[2:3, :] = jnp.sum(acc[2], axis=0, keepdims=True)
+    else:
+        out_ref[0:1, :] = acc[0].reshape(1, tile_px)
+        out_ref[1:2, :] = acc[1].reshape(1, tile_px)
+        out_ref[2:3, :] = acc[2].reshape(1, tile_px)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
-        "tile_px", "stratify",
+        "tile_px", "stratify", "sample_block",
     ),
 )
 def _render_brute_jit(
     scene, cam, width, height, spp, max_depth, reference_quirk, interpret,
-    tile_px, stratify,
+    tile_px, stratify, sample_block,
 ):
     """Whole brute path (packing included) under one jit: repeat frames
     dispatch ONE remote call instead of ~30 tiny eager ops (the eager
     glue cost ~0.85s/frame through the tunneled backend)."""
     return _render_frame_impl(
         scene, cam, width, height, spp, max_depth, reference_quirk,
-        interpret, 0, tile_px, stratify, None,
+        interpret, 0, tile_px, stratify, None, sample_block=sample_block,
     )
 
 
@@ -773,6 +805,7 @@ def render_frame_pallas(
     cluster_k: int = 0,
     tile_px: int = 1024,
     stratify: bool = False,
+    sample_block: int = 1,
 ):
     """Render one frame with the fused megakernel.
 
@@ -792,7 +825,7 @@ def render_frame_pallas(
     if cluster_k == 0:
         return _render_brute_jit(
             scene, cam, width, height, spp, max_depth, reference_quirk,
-            interpret, tile_px, stratify,
+            interpret, tile_px, stratify, sample_block,
         )
     key = (id(scene), cluster_k)
     cached = _CLUSTER_TABLE_CACHE.get(key)
@@ -809,6 +842,7 @@ def render_frame_pallas(
         tables["cboxes"], tables["proj"], tables["const"], tables["join"],
         scene.textures, cam, width, height, spp, max_depth, reference_quirk,
         interpret, tables["num_clusters"], tables["k"], tile_px, stratify,
+        sample_block,
     )
 
 
@@ -816,25 +850,30 @@ def render_frame_pallas(
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
-        "num_clusters", "k", "tile_px", "stratify",
+        "num_clusters", "k", "tile_px", "stratify", "sample_block",
     ),
 )
 def _render_clustered_jit(
     cboxes, proj, const, join, textures, cam, width, height, spp, max_depth,
     reference_quirk, interpret, num_clusters, k, tile_px, stratify,
+    sample_block,
 ):
     tables = dict(cboxes=cboxes, proj=proj, const=const, join=join,
                   num_clusters=num_clusters, k=k)
     return _render_frame_impl(
         None, cam, width, height, spp, max_depth, reference_quirk,
         interpret, k, tile_px, stratify, tables, textures=textures,
+        sample_block=sample_block,
     )
 
 
 def _render_frame_impl(
     scene, cam, width, height, spp, max_depth, reference_quirk,
     interpret, cluster_k, tile_px, stratify, tables, textures=None,
+    sample_block=1,
 ):
+    if sample_block > 1:
+        assert tile_px == 128, "sample_block requires 128-px tiles"
     tex_src = scene.textures if scene is not None else textures
     has_tex = tex_src is not None
     if has_tex:
@@ -864,6 +903,7 @@ def _render_frame_impl(
 
     common = dict(
         tile_px=tile_px,
+        sample_block=sample_block,
         strat_k=strat_k,
         spp=spp,
         max_depth=max_depth,
