@@ -53,6 +53,7 @@ def _measure() -> int:
         fb = megakernel.render_frame_pallas(
             scene, cam, WIDTH, HEIGHT, spp=SPP, max_depth=DEPTH,
             tile_px=128,  # 128-px tiles exit the bounce loop most coherently
+            fast_math=True,  # bf16x3 matmuls: statistically identical images
         )
         float(fb[0, 0, 0])  # reliable sync (tiny host fetch)
         return fb

@@ -96,9 +96,12 @@ def pack_clustered(scene: Scene, k: int = 16):
         const[sl, mk.C_PTYPE] = np.asarray(pla.ptype).astype(np.float32)
         const[sl, mk.C_KIND] = 1.0
 
-    # full join table via the brute packer (same column layout), then permute
-    _, _, join_full, *_ = mk.pack_scene(scene)
-    join_full = np.asarray(join_full)[:, :n]  # [JROWS, n]
+    # full join table via the brute packer (same column layout), then permute.
+    # pack_scene returns stacked [hi; lo] rows — recombine to the original
+    # f32 values (hi + lo) before permuting; we re-split after.
+    _, _, join_stacked, *_ = mk.pack_scene(scene)
+    join_stacked = np.asarray(join_stacked)
+    join_full = (join_stacked[: mk.JROWS] + join_stacked[mk.JROWS :])[:, :n]  # [JROWS, n]
 
     groups = _median_split_clusters(centroid, k)
     c_count = len(groups)
@@ -122,10 +125,19 @@ def pack_clustered(scene: Scene, k: int = 16):
         cboxes[ci, 0:3] = lo[idx].min(axis=0)
         cboxes[ci, 3:6] = hi[idx].max(axis=0)
 
+    # stacked [hi; lo] layouts for the in-kernel bf16x3 matmuls:
+    # proj rows doubled, join columns doubled
+    p_hi = proj_c.astype(np.dtype("bfloat16") if False else np.float32)
+    import jax.numpy as _jnp
+
+    proj_j = _jnp.asarray(proj_c)
+    ph, plo = mk._split_hi_lo(proj_j)
+    join_j = _jnp.asarray(join_c)
+    jh, jlo = mk._split_hi_lo(join_j)
     return dict(
-        proj=jnp.asarray(proj_c),
+        proj=_jnp.concatenate([ph, plo], axis=0),
         const=jnp.asarray(const_c),
-        join=jnp.asarray(join_c),
+        join=_jnp.concatenate([jh, jlo], axis=1),
         cboxes=jnp.asarray(cboxes),
         num_clusters=c_count,
         k=k,
