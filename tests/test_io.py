@@ -156,3 +156,19 @@ class TestNativeAsyncWriter:
         # last frame content matches the quantize of the returned fb
         back = img.read_binary(str(tmp_path / "a_2.bin"))
         np.testing.assert_array_equal(back, img.quantize(fb, 1))
+
+    def test_async_writer_reports_failures(self, tmp_path):
+        from tracer.io import native as io_native
+
+        if not io_native.available():
+            import pytest as _pytest
+
+            _pytest.skip("libtracer_io.so not built")
+        fb = np.ones((4, 4, 3), np.float32)
+        w = io_native.AsyncFrameWriter()
+        w.submit(str(tmp_path / "no" / "such" / "dir" / "f.bin"), fb, 1)
+        import pytest as _pytest
+
+        with _pytest.raises(OSError, match="write"):
+            w.wait()
+        w.close()

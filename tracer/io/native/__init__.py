@@ -43,6 +43,10 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.tracer_writer_pending.argtypes = [ctypes.c_void_p]
     lib.tracer_writer_pending.restype = ctypes.c_int
+    lib.tracer_writer_failures.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int
+    ]
+    lib.tracer_writer_failures.restype = ctypes.c_int
     lib.tracer_writer_wait.argtypes = [ctypes.c_void_p]
     lib.tracer_writer_destroy.argtypes = [ctypes.c_void_p]
     _LIB = lib
@@ -54,7 +58,10 @@ def available() -> bool:
 
 
 class AsyncFrameWriter:
-    """Bounded-queue async writer for 'bin' and 'ppm' frames."""
+    """Async writer for 'bin' and 'ppm' frames.
+
+    The queue is bounded (4 frames): submit blocks when the disk falls
+    behind, and wait() raises OSError if any write failed."""
 
     def __init__(self):
         lib = _load()
@@ -75,7 +82,15 @@ class AsyncFrameWriter:
         return self._lib.tracer_writer_pending(self._handle)
 
     def wait(self) -> None:
+        """Drain the queue; raises if any write failed."""
         self._lib.tracer_writer_wait(self._handle)
+        buf = ctypes.create_string_buffer(512)
+        failures = self._lib.tracer_writer_failures(self._handle, buf, len(buf))
+        if failures:
+            raise OSError(
+                f"async frame writer: {failures} write(s) failed "
+                f"({buf.value.decode(errors='replace')})"
+            )
 
     def close(self) -> None:
         if self._handle:

@@ -45,34 +45,42 @@ void quantize(const Job& job, std::vector<uint8_t>& out) {
   }
 }
 
-void write_job(const Job& job) {
+// returns true on success; on failure fills `err`
+bool write_job(const Job& job, std::string& err) {
   std::vector<uint8_t> bytes;
   quantize(job, bytes);
   FILE* f = std::fopen(job.path.c_str(), job.format == 0 ? "wb" : "w");
   if (!f) {
-    std::fprintf(stderr, "tracer_io: cannot open %s\n", job.path.c_str());
-    return;
+    err = "cannot open " + job.path;
+    return false;
   }
+  bool ok = true;
   if (job.format == 0) {  // BinarySaver layout (camera.cu:139-142)
     int32_t wh[2] = {job.width, job.height};
-    std::fwrite(wh, sizeof(int32_t), 2, f);
-    std::fwrite(bytes.data(), 1, bytes.size(), f);
+    ok = std::fwrite(wh, sizeof(int32_t), 2, f) == 2 &&
+         std::fwrite(bytes.data(), 1, bytes.size(), f) == bytes.size();
   } else {  // P3 PPM (camera.cu:58-73)
-    std::fprintf(f, "P3\n%d %d\n255\n", job.width, job.height);
-    for (size_t i = 0; i < bytes.size(); i += 3) {
-      std::fprintf(f, "%d %d %d\n", bytes[i], bytes[i + 1], bytes[i + 2]);
+    ok = std::fprintf(f, "P3\n%d %d\n255\n", job.width, job.height) > 0;
+    for (size_t i = 0; ok && i < bytes.size(); i += 3) {
+      ok = std::fprintf(f, "%d %d %d\n", bytes[i], bytes[i + 1], bytes[i + 2]) > 0;
     }
   }
-  std::fclose(f);
+  ok = (std::fclose(f) == 0) && ok;
+  if (!ok) err = "write failed for " + job.path;
+  return ok;
 }
 
 struct Writer {
+  static constexpr size_t kMaxQueue = 4;  // backpressure bound
+
   std::deque<Job> queue;
   std::mutex mu;
   std::condition_variable cv;
   std::condition_variable cv_done;
   bool stop = false;
   int in_flight = 0;
+  int failures = 0;
+  std::string first_error;
   std::thread worker;
 
   Writer() : worker([this] { run(); }) {}
@@ -100,10 +108,16 @@ struct Writer {
         queue.pop_front();
         ++in_flight;
       }
-      write_job(job);
+      cv_done.notify_all();  // queue slot freed (backpressure)
+      std::string err;
+      const bool ok = write_job(job, err);
       {
         std::lock_guard<std::mutex> lock(mu);
         --in_flight;
+        if (!ok) {
+          ++failures;
+          if (first_error.empty()) first_error = err;
+        }
       }
       cv_done.notify_all();
     }
@@ -111,7 +125,10 @@ struct Writer {
 
   void submit(Job&& job) {
     {
-      std::lock_guard<std::mutex> lock(mu);
+      std::unique_lock<std::mutex> lock(mu);
+      // block the render thread when the writer falls behind, bounding
+      // memory to kMaxQueue framebuffer copies
+      cv_done.wait(lock, [this] { return queue.size() < kMaxQueue; });
       queue.push_back(std::move(job));
     }
     cv.notify_one();
@@ -150,6 +167,16 @@ void tracer_writer_submit(void* w, const float* fb, int width, int height,
 int tracer_writer_pending(void* w) { return static_cast<Writer*>(w)->pending(); }
 
 void tracer_writer_wait(void* w) { static_cast<Writer*>(w)->wait(); }
+
+// number of failed writes since creation; fills buf with the first error
+int tracer_writer_failures(void* w, char* buf, int buf_len) {
+  Writer* writer = static_cast<Writer*>(w);
+  std::lock_guard<std::mutex> lock(writer->mu);
+  if (buf && buf_len > 0) {
+    std::snprintf(buf, buf_len, "%s", writer->first_error.c_str());
+  }
+  return writer->failures;
+}
 
 void tracer_writer_destroy(void* w) { delete static_cast<Writer*>(w); }
 

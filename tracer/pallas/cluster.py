@@ -127,17 +127,12 @@ def pack_clustered(scene: Scene, k: int = 16):
 
     # stacked [hi; lo] layouts for the in-kernel bf16x3 matmuls:
     # proj rows doubled, join columns doubled
-    p_hi = proj_c.astype(np.dtype("bfloat16") if False else np.float32)
-    import jax.numpy as _jnp
-
-    proj_j = _jnp.asarray(proj_c)
-    ph, plo = mk._split_hi_lo(proj_j)
-    join_j = _jnp.asarray(join_c)
-    jh, jlo = mk._split_hi_lo(join_j)
+    ph, plo = mk._split_hi_lo(jnp.asarray(proj_c))
+    jh, jlo = mk._split_hi_lo(jnp.asarray(join_c))
     return dict(
-        proj=_jnp.concatenate([ph, plo], axis=0),
+        proj=jnp.concatenate([ph, plo], axis=0),
         const=jnp.asarray(const_c),
-        join=_jnp.concatenate([jh, jlo], axis=1),
+        join=jnp.concatenate([jh, jlo], axis=1),
         cboxes=jnp.asarray(cboxes),
         num_clusters=c_count,
         k=k,

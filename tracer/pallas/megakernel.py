@@ -72,6 +72,11 @@ DENOM_EPS = 1e-8  # plane.h:59
 _U = jnp.uint32
 
 
+class PallasUnsupported(Exception):
+    """The megakernel cannot handle this configuration (e.g. oversized
+    texture); callers fall back to the XLA path."""
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -936,11 +941,13 @@ def _render_frame_impl(
     tex_src = scene.textures if scene is not None else textures
     has_tex = tex_src is not None
     if has_tex:
-        assert tex_src.shape[0] == 1, "megakernel: one texture layer"
+        if tex_src.shape[0] != 1:
+            raise PallasUnsupported("megakernel: one texture layer only")
         th, tw = tex_src.shape[1:3]
-        assert max(th, tw) <= MAX_TEX_DIM, (
-            f"megakernel: texture {th}x{tw} exceeds {MAX_TEX_DIM} — use the XLA path"
-        )
+        if max(th, tw) > MAX_TEX_DIM:
+            raise PallasUnsupported(
+                f"megakernel: texture {th}x{tw} exceeds {MAX_TEX_DIM} - use the XLA path"
+            )
     assert tile_px % 128 == 0 and tile_px >= 128
     strat_k = 0
     if stratify:

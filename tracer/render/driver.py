@@ -94,6 +94,11 @@ def render_animation(
             background=(0.0, 0.0, 0.0),  # camera.cu:323
         )
         t0 = time.perf_counter()
+        if engine == "pallas" and rng_mode != "fixed":
+            # the megakernel implements only the fixed-budget RNG
+            print(f"pallas engine does not support rng_mode={rng_mode!r}; "
+                  "using XLA", file=sys.stderr)
+            engine = "xla"
         if engine == "pallas":
             from tracer.pallas import megakernel
             import jax
@@ -106,7 +111,7 @@ def render_animation(
                     interpret=jax.default_backend() == "cpu",
                     stratify=stratify,
                 )
-            except AssertionError as e:  # e.g. oversized texture
+            except megakernel.PallasUnsupported as e:
                 print(f"pallas engine unavailable ({e}); using XLA", file=sys.stderr)
                 engine = "xla"
         if engine == "pallas":
@@ -118,7 +123,7 @@ def render_animation(
                 scene, cam, width, height, spp,
                 params.render.max_depth, mesh,
                 intersector=intersector, reference_quirk=reference_quirk,
-                chunk=chunk,
+                chunk=chunk, rng_mode=rng_mode, stratify=stratify,
             )
         else:
             fb_dev = renderer.render_frame(
