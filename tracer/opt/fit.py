@@ -65,14 +65,27 @@ def render_loss_fn(
     spp: int,
     max_depth: int,
     chunk: Optional[int] = None,
+    engine: str = "xla",
 ) -> Callable:
-    """L2 image loss as a function of a params dict."""
+    """L2 image loss as a function of a params dict.
+
+    engine="pallas" uses the fused megakernel for the forward pass with
+    the XLA renderer as the rematerialized backward (tracer.pallas.diff)
+    — faster iterations on TPU, identical gradients.
+    """
     target = jnp.asarray(target, jnp.float32)
     chunk = chunk or min(renderer.DEFAULT_CHUNK, width * height)
 
     def loss(params):
         s = apply_params(scene, params)
-        fb = renderer.render_frame(s, cam, width, height, spp=spp, max_depth=max_depth, chunk=chunk)
+        if engine == "pallas":
+            from tracer.pallas import diff as pallas_diff
+
+            fb = pallas_diff.render_frame_diff(s, cam, width, height, spp, max_depth)
+        else:
+            fb = renderer.render_frame(
+                s, cam, width, height, spp=spp, max_depth=max_depth, chunk=chunk
+            )
         return jnp.mean((fb / spp - target) ** 2)
 
     return loss
@@ -115,13 +128,15 @@ def fit(
     checkpoint_every: int = 25,
     log_every: int = 10,
     log=print,
+    engine: str = "xla",
 ):
     """Fit the named scene parameters to a target image.
 
     Returns (fitted_scene, losses). If `checkpoint_path` exists, training
     resumes from it (step counter, params, optimizer moments).
     """
-    loss_fn = render_loss_fn(scene, cam, target, width, height, spp, max_depth)
+    loss_fn = render_loss_fn(scene, cam, target, width, height, spp, max_depth,
+                             engine=engine)
 
     opt = optax.adam(learning_rate)
     params = extract_params(scene, param_paths)
