@@ -450,6 +450,43 @@ def _intersect_clustered(
     return jax.lax.fori_loop(0, num_clusters, body, (t0, rec0, uv0, uv0))
 
 
+def _atan_cephes(x):
+    """Cephes-style atanf (Mosaic has no inverse-trig primitives).
+
+    Range-reduced 4-term polynomial, |err| ~ 1e-7 over the reals."""
+    sign = jnp.where(x < 0.0, -1.0, 1.0)
+    ax = jnp.abs(x)
+    big = ax > 2.414213562373095  # tan(3pi/8)
+    mid = (ax > 0.4142135623730950) & ~big  # tan(pi/8)
+    safe_ax = jnp.maximum(ax, 1e-30)
+    xr = jnp.where(big, -1.0 / safe_ax, jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    z = xr * xr
+    p = (
+        (((8.05374449538e-2 * z - 1.38776856032e-1) * z + 1.99777106478e-1) * z
+         - 3.33329491539e-1) * z * xr + xr
+    )
+    y = jnp.where(big, jnp.float32(jnp.pi / 2) + p,
+                  jnp.where(mid, jnp.float32(jnp.pi / 4) + p, p))
+    return sign * y
+
+
+def _atan2_cephes(y, x):
+    """atan2 from _atan_cephes with standard quadrant fixup."""
+    safe_x = jnp.where(jnp.abs(x) < 1e-30, 1e-30, x)
+    base = _atan_cephes(y / safe_x)
+    return jnp.where(
+        x >= 0.0, base,
+        jnp.where(y >= 0.0, base + jnp.float32(jnp.pi), base - jnp.float32(jnp.pi)),
+    )
+
+
+def _acos_cephes(y):
+    """acos(y) = pi/2 - atan(y / sqrt(1 - y^2)) for y in [-1, 1]."""
+    y = jnp.clip(y, -1.0, 1.0)
+    denom = jnp.sqrt(jnp.maximum(1.0 - y * y, 1e-30))
+    return jnp.float32(jnp.pi / 2) - _atan_cephes(y / denom)
+
+
 def _sample_texture(texr_ref, texg_ref, texb_ref, u, v, th, tw):
     """Bilinear texture fetch with tex2D_cpu semantics (materials.h:20-51)
     as two one-hot MXU contractions per channel: wrap addressing, v flip,
@@ -522,9 +559,10 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
         th, tw = tex_refs[0].shape
         texid = row(J_TEXID)
         textured = (texid > -0.5) & hit
-        # sphere uv from the OUTWARD normal (sphere.h:16-22)
-        u_s = (jnp.arctan2(-onz, onx) + jnp.pi) / (2.0 * jnp.pi)
-        v_s = jnp.arccos(jnp.clip(ony, -1.0, 1.0)) / jnp.pi
+        # sphere uv from the OUTWARD normal (sphere.h:16-22); inverse trig
+        # via Cephes polynomials (no Mosaic primitives for atan2/acos)
+        u_s = (_atan2_cephes(-onz, onx) + jnp.float32(jnp.pi)) / (2.0 * jnp.pi)
+        v_s = _acos_cephes(ony) / jnp.pi
         u_all = jnp.where(is_sph, u_s, to_px(pu))
         v_all = jnp.where(is_sph, v_s, to_px(pv))
 
