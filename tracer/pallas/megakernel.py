@@ -25,9 +25,10 @@ The RNG is the same counter-based wang_hash stream as tracer.core.rng —
 bit-identical draws, so kernel output matches the XLA renderer exactly
 (modulo f32 reassociation).
 
-Textures are not yet supported in-kernel (no vectorized VMEM gather);
-`render_frame_pallas` asserts the scene is untextured — the XLA path
-handles textured scenes.
+Single-layer textures up to MAX_TEX_DIM a side are sampled in-kernel
+(bilinear one-hot MXU contractions with exact tex2D_cpu semantics and
+Cephes inverse trig for sphere UVs); larger textures raise
+PallasUnsupported and callers fall back to the XLA path.
 """
 
 from __future__ import annotations
