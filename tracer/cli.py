@@ -34,7 +34,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=None, help="render only the first N frames")
     p.add_argument("--bvh", action="store_true", help="use BVH traversal instead of brute force")
     p.add_argument("--pallas", action="store_true",
-                   help="use the fused Pallas megakernel (untextured scenes)")
+                   help="use the fused Pallas megakernel")
+    p.add_argument("--fast-math", action="store_true",
+                   help="pallas engine: bf16x3 matmuls (~28%% faster; statistically "
+                        "identical images, per-sample parity waived)")
     p.add_argument("--no-quirk", action="store_true",
                    help="use corrected j*width+i pixel seeding instead of the reference quirk")
     p.add_argument("--stratify", action="store_true",
@@ -116,6 +119,7 @@ def main(argv=None) -> int:
         saver_spp_quirk=not args.no_saver_quirk,
         rng_mode="reference" if args.ref_rng else "fixed",
         stratify=args.stratify,
+        fast_math=args.fast_math,
     )
     return 0
 

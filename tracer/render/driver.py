@@ -38,6 +38,7 @@ def render_animation(
     mesh=None,
     rng_mode: str = "fixed",
     stratify: bool = False,
+    fast_math: bool = False,
 ):
     """Render `params.num_frames` frames; returns the last framebuffer.
 
@@ -109,7 +110,7 @@ def render_animation(
                     max_depth=params.render.max_depth,
                     reference_quirk=reference_quirk,
                     interpret=jax.default_backend() == "cpu",
-                    stratify=stratify,
+                    stratify=stratify, fast_math=fast_math,
                 )
             except megakernel.PallasUnsupported as e:
                 print(f"pallas engine unavailable ({e}); using XLA", file=sys.stderr)
