@@ -118,3 +118,40 @@ class TestSppSharding:
 
         with pytest.raises(AssertionError):
             S.render_frame_spp_sharded(_scene(), _cam(), W, H, spp=7, max_depth=2, mesh=mesh)
+
+
+class TestShardedModeForwarding:
+    def test_mesh_path_forwards_stratify_and_rng(self, mesh):
+        from tracer.dist import sharding as S
+
+        scene, cam = _scene(), _cam()
+        for kw in (dict(stratify=True, spp=4), dict(rng_mode="reference", spp=2)):
+            spp = kw.pop("spp")
+            fb1 = np.asarray(
+                renderer.render_frame(scene, cam, W, H, spp=spp, max_depth=3, chunk=W * H, **kw)
+            )
+            fb8 = np.asarray(
+                S.render_frame_sharded(scene, cam, W, H, spp, 3, mesh=mesh, chunk=W * H, **kw)
+            )
+            np.testing.assert_allclose(fb8, fb1, atol=1e-6)
+
+    def test_driver_mesh_path(self, tmp_path):
+        import io as _io
+
+        from tracer.dist import sharding as S
+        from tracer.render import driver
+        from tracer.scene import builders, config
+        import jax
+
+        params = config.read_scene_params(_io.StringIO(config.smoke_config_text()))
+        params.width, params.height = 16, 8
+        params.num_frames = 1
+        params.render.sqrt_rays_per_pixel = 1
+        params.render.max_depth = 2
+        params.output_path = str(tmp_path / "m_%d.bin")
+        scene = builders.create_scene(params, texture_loader=lambda _: None)
+        mesh = S.make_mesh(jax.devices()[:8])
+        fb_m = driver.render_animation(scene, params, mesh=mesh, out=_io.StringIO(),
+                                       stratify=False, rng_mode="fixed")
+        fb_s = driver.render_animation(scene, params, out=_io.StringIO())
+        np.testing.assert_allclose(fb_m, fb_s, atol=1e-6)

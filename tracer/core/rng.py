@@ -128,8 +128,10 @@ def random_in_unit_sphere_rejection(seed: jnp.ndarray, max_tries: int = MAX_REJE
         seed = jnp.where(found, seed, s)
         return seed, found | ok, val
 
-    found0 = jnp.zeros(jnp.shape(seed), bool)
-    val0 = jnp.zeros(jnp.shape(seed) + (3,), jnp.float32)
+    # derive carry inits from `seed` (not fresh constants) so their
+    # varying-manual-axes types match under shard_map
+    found0 = ~(seed == seed)  # all-False
+    val0 = jnp.zeros_like(seed, dtype=jnp.float32, shape=jnp.shape(seed) + (3,))
     seed, found, val = jax.lax.fori_loop(0, max_tries, body, (seed, found0, val0))
     # tail fallback: pull the last candidate inside the ball
     norm = jnp.sqrt(jnp.maximum(vec.length_squared(val), 1e-12))

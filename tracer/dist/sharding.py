@@ -46,7 +46,7 @@ def make_mesh(devices=None) -> Mesh:
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "mesh"),
+    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "mesh", "rng_mode", "stratify"),
 )
 def render_frame_sharded(
     scene: Scene,
@@ -59,6 +59,8 @@ def render_frame_sharded(
     intersector: str = "fast",
     reference_quirk: bool = True,
     chunk: int = renderer.DEFAULT_CHUNK,
+    rng_mode: str = "fixed",
+    stratify: bool = False,
 ):
     """Sharded frame render; returns [height, width, 3] raw sample sums.
 
@@ -93,6 +95,7 @@ def render_frame_sharded(
         return renderer.render_pixels(
             scene, cam, i, j, base, spp, max_depth,
             intersector=intersector, chunk=local_chunk,
+            rng_mode=rng_mode, stratify=stratify,
         )
 
     fb = jax.shard_map(
