@@ -155,3 +155,16 @@ class TestShardedModeForwarding:
                                        stratify=False, rng_mode="fixed")
         fb_s = driver.render_animation(scene, params, out=_io.StringIO())
         np.testing.assert_allclose(fb_m, fb_s, atol=1e-6)
+
+
+    def test_spp_sharded_forwards_modes(self, mesh):
+        from tracer.dist import sharding as S
+
+        scene, cam = _scene(), _cam()
+        fb1 = np.asarray(
+            renderer.render_frame(scene, cam, W, H, spp=16, max_depth=3, chunk=W * H, stratify=True)
+        )
+        fb8 = np.asarray(
+            S.render_frame_spp_sharded(scene, cam, W, H, 16, 3, mesh=mesh, stratify=True)
+        )
+        np.testing.assert_allclose(fb8, fb1, rtol=1e-5, atol=1e-5)

@@ -109,7 +109,7 @@ def render_frame_sharded(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "mesh"),
+    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "mesh", "rng_mode", "stratify"),
 )
 def render_frame_spp_sharded(
     scene: Scene,
@@ -122,6 +122,8 @@ def render_frame_spp_sharded(
     intersector: str = "fast",
     reference_quirk: bool = True,
     chunk: int = renderer.DEFAULT_CHUNK,
+    rng_mode: str = "fixed",
+    stratify: bool = False,
 ):
     """Sample-axis sharding (SURVEY.md §2 parallelism table): every device
     renders ALL pixels with a disjoint slice of the per-pixel sample
@@ -132,6 +134,9 @@ def render_frame_spp_sharded(
     n_dev = mesh.devices.size
     assert spp % n_dev == 0, f"spp {spp} must divide across {n_dev} devices"
     local_spp = spp // n_dev
+    strat_sqrt = int(round(spp ** 0.5)) if stratify else 0
+    if stratify:
+        assert strat_sqrt * strat_sqrt == spp, "stratify requires square spp"
     i_flat, j_flat, base_seed = renderer.pixel_grid(width, height, reference_quirk)
 
     def shard_body(scene, cam, i, j, base):
@@ -148,7 +153,8 @@ def render_frame_spp_sharded(
         part = renderer.render_pixels(
             scene, cam, i, j, base, local_spp, max_depth,
             intersector=intersector, chunk=min(chunk, i.shape[0]),
-            sample_start=start,
+            sample_start=start, rng_mode=rng_mode, stratify=stratify,
+            strat_sqrt_spp=strat_sqrt,
         )
         return jax.lax.psum(part, AXIS)
 

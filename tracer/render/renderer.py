@@ -40,8 +40,13 @@ def render_pixels(
     sample_start: int = 0,
     rng_mode: str = "fixed",
     stratify: bool = False,
+    strat_sqrt_spp: int = 0,
 ):
     """Raw sample sums [N, 3] for a flat list of pixels.
+
+    `strat_sqrt_spp` overrides the stratification grid size (needed when
+    the sample axis is sharded: each device renders a slice of the
+    GLOBAL sample range, so cells derive from the global sqrt(spp)).
 
     `stratify=True` confines each sample's pixel jitter to its cell of a
     sqrt(spp) x sqrt(spp) sub-pixel grid (spp must be a perfect square) —
@@ -67,8 +72,10 @@ def render_pixels(
 
     sqrt_spp = 0
     if stratify:
-        sqrt_spp = int(round(spp ** 0.5))
-        assert sqrt_spp * sqrt_spp == spp, "stratify requires square spp"
+        sqrt_spp = strat_sqrt_spp or int(round(spp ** 0.5))
+        assert strat_sqrt_spp or sqrt_spp * sqrt_spp == spp, (
+            "stratify requires square spp (or an explicit strat_sqrt_spp)"
+        )
 
     def one_sample(i, j, base, s):
         seed = rng.sample_seed(base, s)
