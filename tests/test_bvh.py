@@ -40,6 +40,45 @@ class TestBuilder:
         ax = np.asarray(bvh.axis)
         assert ((ax >= 0) & (ax <= 2)).all()
 
+    def test_tree_depth_and_stack_capacity(self):
+        scene = _scene()
+        bvh = scene.bvh
+        d = bb.tree_depth(bvh.left, bvh.right)
+        assert 1 <= d <= bt._stack_depth(bvh.left.shape[0])
+        bb.check_stack_capacity(bvh.left, bvh.right)  # must not raise
+
+    def test_stack_overflow_is_loud(self):
+        # A pathological right-spine chain: depth = P, far beyond the
+        # log-sized stack the traversal allocates. check_stack_capacity
+        # must refuse it rather than let traversal drop pushes silently.
+        import pytest
+
+        p = 64
+        n = 2 * p - 1
+        left = np.full(n, -1, np.int32)
+        right = np.zeros(n, np.int32)
+        # internal nodes at even indices: left child = leaf (i+1),
+        # right child = next internal (i+2) -> a depth-p right spine
+        for i in range(0, n - 1, 2):
+            left[i] = i + 1
+            right[i] = i + 2
+        assert bb.tree_depth(left, right) == p
+        with pytest.raises(ValueError, match="stack capacity"):
+            bb.check_stack_capacity(left, right)
+
+    def test_degenerate_centroids_stay_balanced(self):
+        # 257 coincident spheres: identical centroids are the classic
+        # median-split worst case; the mid-index partition must still
+        # produce a balanced (log-depth) tree that fits the stack.
+        p = 257
+        centers = np.zeros((p, 3), np.float32)
+        radii = np.ones(p, np.float32)
+        z3 = np.zeros((0, 3), np.float32)
+        bvh = bb.build_bvh_arrays(centers, radii, z3, z3, z3,
+                                  np.zeros(0, np.int32))
+        d = bb.tree_depth(bvh.left, bvh.right)
+        assert d <= bt._stack_depth(bvh.left.shape[0])
+
     def test_boxes_contain_children(self):
         scene = _scene()
         bvh = scene.bvh

@@ -138,6 +138,51 @@ def build_bvh_numpy(lo, hi, centroid, kind, index) -> Tuple[np.ndarray, ...]:
     )
 
 
+def tree_depth(left, right) -> int:
+    """Max root-to-leaf depth (root = 1) from the flat node arrays.
+
+    Nodes are in preorder, so every child index is larger than its
+    parent's — one forward pass suffices.
+    """
+    left = np.asarray(left)
+    right = np.asarray(right)
+    n = len(left)
+    if n == 0:
+        return 0
+    depth = np.zeros(n, np.int64)
+    depth[0] = 1
+    maxd = 1
+    for i in range(n):
+        if left[i] >= 0:  # internal node
+            d = depth[i] + 1
+            depth[left[i]] = d
+            depth[right[i]] = d
+            if d > maxd:
+                maxd = int(d)
+    return maxd
+
+
+def check_stack_capacity(left, right) -> None:
+    """Fail loudly if the traversal stack cannot hold this tree.
+
+    The batched traversal (tracer.bvh.traverse) sizes its per-lane stack
+    from the node count assuming a balanced median-split tree; a deeper
+    tree (e.g. a future SAH builder) would silently drop pushes and
+    corrupt the image (ADVICE round 1).  Max stack occupancy during
+    near-first traversal equals the tree depth, so that is the bound.
+    """
+    from tracer.bvh.traverse import _stack_depth
+
+    d = tree_depth(left, right)
+    cap = _stack_depth(len(left))
+    if d > cap:
+        raise ValueError(
+            f"BVH tree depth {d} exceeds the traversal stack capacity "
+            f"{cap} (sized for balanced median-split trees). Deepen "
+            f"_stack_depth in tracer/bvh/traverse.py for this builder."
+        )
+
+
 def _build(lo, hi, centroid, kind, index):
     """Dispatch to the native C++ builder when available."""
     try:
@@ -157,6 +202,7 @@ def build_bvh_arrays(sphere_center, sphere_radius, plane_base, plane_u,
         sphere_center, sphere_radius, plane_base, plane_u, plane_v, plane_type
     )
     bmin, bmax, left, right, nkind, axis = _build(lo, hi, cent, kind, index)
+    check_stack_capacity(left, right)
     return BVHArrays(
         box_min=jnp.asarray(bmin),
         box_max=jnp.asarray(bmax),

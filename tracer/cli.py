@@ -140,10 +140,11 @@ def _run_fit(args, scene, params) -> int:
         q = np.asarray(Image.open(args.fit).convert("RGB"), np.float32)
     sqrt_spp = params.render.sqrt_rays_per_pixel
     spp = sqrt_spp * sqrt_spp
-    # invert the saver quantize (camera.cu:64-73): byte = 256*sqrt(sum/div)
-    # -> mean = sum/spp = (byte/256)^2 * div/spp
+    # invert the saver quantize (camera.cu:64-73): byte = int(256*sqrt(sum/div)),
+    # so sum/div lies in [(b/256)^2, ((b+1)/256)^2) — centering the sqrt-domain
+    # dequantization at b+0.5 removes the systematic low bias (ADVICE round 1)
     divisor = spp if args.no_saver_quirk else sqrt_spp
-    target = (q / 256.0) ** 2 * (divisor / spp)
+    target = ((q + 0.5) / 256.0) ** 2 * (divisor / spp)
     h, w = target.shape[:2]
     if (w, h) != (params.width, params.height):
         print(f"tracer: target is {w}x{h}, config says "

@@ -33,6 +33,7 @@ PallasUnsupported and callers fall back to the XLA path.
 
 from __future__ import annotations
 
+import collections
 import functools
 
 import jax
@@ -886,7 +887,26 @@ def _render_brute_jit(
 
 
 # clustered tables are packed host-side (NumPy); cache them per scene
-_CLUSTER_TABLE_CACHE = {}
+# content (cheap geometry fingerprint), LRU-evicted — id() keys retain
+# scenes forever and break across object lifetimes (ADVICE round 1)
+_CLUSTER_TABLE_CACHE = collections.OrderedDict()
+_CLUSTER_CACHE_MAX = 8
+
+
+def _scene_fingerprint(scene: Scene) -> bytes:
+    """Hashable digest of the geometry that pack_clustered reads."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for arr in (scene.spheres.center, scene.spheres.radius,
+                scene.planes.base, scene.planes.u, scene.planes.v,
+                scene.planes.ptype):
+        import numpy as _np
+
+        a = _np.asarray(arr)
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.digest()
 
 
 def render_frame_pallas(
@@ -930,17 +950,17 @@ def render_frame_pallas(
             scene, cam, width, height, spp, max_depth, reference_quirk,
             interpret, tile_px, stratify, sample_block, fast_math,
         )
-    key = (id(scene), cluster_k)
-    cached = _CLUSTER_TABLE_CACHE.get(key)
-    if cached is None or cached[0] is not scene:
+    key = (_scene_fingerprint(scene), cluster_k)
+    tables = _CLUSTER_TABLE_CACHE.get(key)
+    if tables is None:
         from tracer.pallas import cluster as cluster_mod
 
         tables = cluster_mod.pack_clustered(scene, k=cluster_k)
-        if len(_CLUSTER_TABLE_CACHE) > 16:
-            _CLUSTER_TABLE_CACHE.clear()
-        _CLUSTER_TABLE_CACHE[key] = (scene, tables)
+        while len(_CLUSTER_TABLE_CACHE) >= _CLUSTER_CACHE_MAX:
+            _CLUSTER_TABLE_CACHE.popitem(last=False)
+        _CLUSTER_TABLE_CACHE[key] = tables
     else:
-        tables = cached[1]
+        _CLUSTER_TABLE_CACHE.move_to_end(key)
     return _render_clustered_jit(
         tables["cboxes"], tables["proj"], tables["const"], tables["join"],
         scene.textures, cam, width, height, spp, max_depth, reference_quirk,

@@ -116,7 +116,10 @@ def render_animation(
                 print(f"pallas engine unavailable ({e}); using XLA", file=sys.stderr)
                 engine = "xla"
         if engine == "pallas":
-            pass  # fb_dev already rendered above
+            if mesh is not None:
+                print("tracer: engine='pallas' renders single-device; "
+                      "ignoring mesh (use engine='xla' for sharded render)",
+                      file=sys.stderr)
         elif mesh is not None:
             from tracer.dist import sharding
 
