@@ -168,3 +168,66 @@ class TestShardedModeForwarding:
             S.render_frame_spp_sharded(scene, cam, W, H, 16, 3, mesh=mesh, stratify=True)
         )
         np.testing.assert_allclose(fb8, fb1, rtol=1e-5, atol=1e-5)
+
+
+class TestMultiProcess:
+    """2-process jax.distributed on CPU: the global-mesh allgather branch
+    of multihost.render_animation_multihost (VERDICT round-1 item 7)."""
+
+    def test_two_process_global_mesh_render(self, tmp_path):
+        import io as _io
+        import os
+        import socket
+        import subprocess
+        import sys
+
+        # free port for the coordinator
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+
+        worker = os.path.join(os.path.dirname(__file__), "mp_render_worker.py")
+        env = {k: v for k, v in os.environ.items()
+               if not k.startswith(("JAX_", "XLA_"))}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), str(port), str(tmp_path)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+            for pid in range(2)
+        ]
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+
+        # only process 0 writes TSV timing lines
+        tsv0 = (tmp_path / "tsv_0.txt").read_text()
+        tsv1 = (tmp_path / "tsv_1.txt").read_text()
+        assert len(tsv0.strip().splitlines()) == 2
+        assert tsv1.strip() == ""
+
+        # frames written once (by process 0) and match a single-process render
+        from tracer.io import image as image_io
+        from tracer.render import driver
+        from tracer.scene import builders, config
+
+        params = config.read_scene_params(_io.StringIO(config.smoke_config_text()))
+        params.width, params.height = 16, 8
+        params.num_frames = 2
+        params.render.sqrt_rays_per_pixel = 1
+        params.render.max_depth = 2
+        params.output_path = str(tmp_path / "ref_%d.bin")
+        scene = builders.create_scene(params, texture_loader=lambda _: None)
+        driver.render_animation(scene, params, out=_io.StringIO(),
+                                stratify=False, rng_mode="fixed")
+        for n in range(2):
+            got = image_io.read_binary(str(tmp_path / f"mh_{n}.bin"))
+            want = image_io.read_binary(str(tmp_path / f"ref_{n}.bin"))
+            np.testing.assert_array_equal(got, want)

@@ -57,13 +57,31 @@ def test_megakernel_partial_tile():
     assert (diff < 1e-3).mean() > 0.98, f"max {diff.max()}"
 
 
-def test_megakernel_rejects_oversized_textures():
+def test_megakernel_big_texture_demand_paged():
+    """Textures above MAX_TEX_DIM stay in HBM and are demand-paged in
+    128x128 blocks through the in-kernel VMEM cache (round 2); results
+    must match the XLA sampler on the same tex2D_cpu semantics."""
+    import sys as _sys
+
     import jax.numpy as jnp
 
-    big = megakernel.MAX_TEX_DIM + 1
-    scene = _scene()._replace(textures=jnp.zeros((1, big, 8, 3)))
-    with pytest.raises(megakernel.PallasUnsupported):
-        megakernel.render_frame_pallas(scene, _cam(8, 8), 8, 8, spp=1, max_depth=2, interpret=True)
+    _sys.path.insert(0, os.path.dirname(__file__))
+    from test_parity import _full_scene
+
+    scene, _ = _full_scene(with_texture=True)
+    g = np.random.default_rng(7)
+    big = megakernel.MAX_TEX_DIM  # 300 > cap in one dim, 520 in the other
+    tex = g.uniform(0.1, 1.0, size=(1, big + 44, 2 * big + 8, 3)).astype(np.float32)
+    scene = scene._replace(textures=jnp.asarray(tex))
+    w, h = 16, 12
+    cam = _cam(w, h)
+    ref = np.asarray(renderer.render_frame(scene, cam, w, h, spp=2, max_depth=4, chunk=192))
+    got = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=2, max_depth=4, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
 @pytest.mark.parametrize("cluster_k", [0, 8])
@@ -221,3 +239,46 @@ def test_sample_major_matches_default():
     )
     # same per-sample streams, different accumulation order
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("tile_px", [128, 1024])
+def test_persistent_matches_sample_loop(tile_px):
+    # Per-lane path regeneration (round 2) must be BIT-identical to the
+    # round-1 per-sample loop: same RNG streams (seeds depend only on
+    # (pixel, sample)) and same f32 summation grouping (per-sample final
+    # folds into acc at sample end).
+    scene = _scene()
+    w, h = 36, 7  # 252 px: partial tiles in both tile sizes
+    cam = _cam(w, h)
+    base = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=3, max_depth=4, interpret=True,
+            persistent=False, tile_px=128,
+        )
+    )
+    got = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=3, max_depth=4, interpret=True,
+            persistent=True, tile_px=tile_px,
+        )
+    )
+    np.testing.assert_array_equal(got, base)
+
+
+def test_persistent_stratified_matches_sample_loop():
+    scene = _scene()
+    w, h = 32, 8
+    cam = _cam(w, h)
+    base = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=4, max_depth=3, interpret=True,
+            persistent=False, tile_px=128, stratify=True,
+        )
+    )
+    got = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=4, max_depth=3, interpret=True,
+            persistent=True, tile_px=1024, stratify=True,
+        )
+    )
+    np.testing.assert_array_equal(got, base)

@@ -117,6 +117,11 @@ def render_animation_multihost(scene, params, frame_shard: bool = True, **kwargs
         fb = sharding.render_frame_sharded(
             scene, cam, params.width, params.height, spp,
             params.render.max_depth, mesh,
+            intersector=kwargs.get("intersector", "fast"),
+            reference_quirk=kwargs.get("reference_quirk", True),
+            chunk=kwargs.get("chunk", sharding.renderer.DEFAULT_CHUNK),
+            rng_mode=kwargs.get("rng_mode", "fixed"),
+            stratify=kwargs.get("stratify", False),
         )
         fb_np = np.asarray(multihost_utils.process_allgather(fb, tiled=True))
         ms = (time.perf_counter() - t0) * 1e3

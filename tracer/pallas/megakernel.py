@@ -25,10 +25,12 @@ The RNG is the same counter-based wang_hash stream as tracer.core.rng —
 bit-identical draws, so kernel output matches the XLA renderer exactly
 (modulo f32 reassociation).
 
-Single-layer textures up to MAX_TEX_DIM a side are sampled in-kernel
-(bilinear one-hot MXU contractions with exact tex2D_cpu semantics and
-Cephes inverse trig for sphere UVs); larger textures raise
-PallasUnsupported and callers fall back to the XLA path.
+Single-layer textures of any size are sampled in-kernel with exact
+tex2D_cpu semantics (Cephes inverse trig for sphere UVs): up to
+MAX_TEX_DIM a side the texture is VMEM-resident and fetched with
+bilinear one-hot MXU contractions; larger textures stay in HBM and are
+demand-paged in 128x128 blocks through a 1-block VMEM cache driven by
+an in-kernel demand loop (the TPU analog of the CUDA texture cache).
 """
 
 from __future__ import annotations
@@ -489,6 +491,123 @@ def _acos_cephes(y):
     return jnp.float32(jnp.pi / 2) - _atan_cephes(y / denom)
 
 
+def _tex_addressing(u, v, th, tw):
+    """tex2D_cpu address math (materials.h:20-51): wrap, v flip, trunc,
+    neighbor wrap. Returns int corner coords and bilinear weights."""
+    u = u - jnp.floor(u)
+    v = v - jnp.floor(v)
+    px = u * tw
+    py = (1.0 - v) * th
+    x0 = jnp.minimum(px.astype(jnp.int32), tw - 1)
+    y0 = jnp.minimum(py.astype(jnp.int32), th - 1)
+    x1 = jnp.mod(x0 + 1, tw)
+    y1 = jnp.mod(y0 + 1, th)
+    dx = px - x0.astype(jnp.float32)
+    dy = py - y0.astype(jnp.float32)
+    return x0, y0, x1, y1, dx, dy
+
+
+def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
+    """Bilinear fetch from an HBM-resident texture of ANY size.
+
+    TPU-native replacement for CUDA's hardware tex2D + texture cache
+    (materials.h:20-51): the texture lives in HBM; 128x128 blocks are
+    DMA'd on demand into a 1-block VMEM cache (cache survives across
+    bounces/samples of the tile — coherent tiles mostly hit). A demand
+    while-loop serves every unserved bilinear corner of every textured
+    lane, one block per iteration, so ANY access pattern terminates with
+    exact tex2D_cpu results: in-block routing is a 0/1 one-hot MXU
+    contraction against a bf16 hi/lo split of the block, which
+    reconstructs the f32 texels exactly.
+    """
+    (tr_hbm, tg_hbm, tb_hbm, blk_ref, aux_ref, cached_ref, sem,
+     th, tw, nbx) = big_tex
+    ps0, flat_n = ps[0], ps[0] * 128
+
+    x0, y0, x1, y1, dxw, dyw = _tex_addressing(u_all, v_all, th, tw)
+    corners = (
+        (y0, x0, (1.0 - dxw) * (1.0 - dyw)),
+        (y0, x1, dxw * (1.0 - dyw)),
+        (y1, x0, (1.0 - dxw) * dyw),
+        (y1, x1, dxw * dyw),
+    )
+    bids = [(yc // 128) * nbx + (xc // 128) for yc, xc, _ in corners]
+
+    arow = lambda i: aux_ref[i * ps0:(i + 1) * ps0, :]
+
+    def aput(i, v):
+        aux_ref[i * ps0:(i + 1) * ps0, :] = v
+
+    # aux rows: 0..2 = accumulated rgb, 3..6 = corner-served flags
+    for c in range(3):
+        aput(c, jnp.zeros(ps, jnp.float32))
+    for c in range(4):
+        aput(3 + c, jnp.where(textured, 0.0, 1.0))
+
+    iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+
+    def unserved_count():
+        n = jnp.int32(0)
+        for c in range(4):
+            n = n + jnp.sum((arow(3 + c) < 0.5).astype(jnp.int32))
+        return n
+
+    def cond(rem):
+        return rem > 0
+
+    def body(rem):
+        # most-demanded selection is unnecessary: ANY unserved block id
+        # works; max is cheap and deterministic
+        want = jnp.full(ps, -1, jnp.int32)
+        for c in range(4):
+            m = arow(3 + c) < 0.5
+            want = jnp.maximum(want, jnp.where(m, bids[c], -1))
+        b = jnp.max(want)  # scalar block id
+        by = b // nbx
+        bx = b - by * nbx
+
+        @pl.when(b != cached_ref[0, 0])
+        def _fetch():
+            copies = [
+                pltpu.make_async_copy(
+                    src.at[pl.ds(by * 128, 128), pl.ds(bx * 128, 128)],
+                    blk_ref.at[pl.ds(ci * 128, 128), :],
+                    sem,
+                )
+                for ci, src in enumerate((tr_hbm, tg_hbm, tb_hbm))
+            ]
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+            cached_ref[0, 0] = b
+
+        # hi/lo split: one-hot selection in two bf16 passes is EXACT
+        blks = []
+        for ci in range(3):
+            bfull = blk_ref[ci * 128:(ci + 1) * 128, :]
+            bhi = bfull.astype(jnp.bfloat16).astype(jnp.float32)
+            blks.append((bhi, bfull - bhi))
+
+        for c, (yc, xc, wc) in enumerate(corners):
+            hitc = (arow(3 + c) < 0.5) & (bids[c] == b)
+            lx = xc - bx * 128
+            ly = yc - by * 128
+            ohx = (iota128 == flat(lx)).astype(jnp.float32)  # (128, T)
+            ohy = (iota128 == flat(ly)).astype(jnp.float32)
+            wf = flat(jnp.where(hitc, wc, 0.0))
+            for ci in range(3):
+                bhi, blo = blks[ci]
+                col = _dot1(bhi, ohx) + _dot1(blo, ohx)  # (128, T)
+                val = jnp.sum(ohy * col, axis=0, keepdims=True)  # (1, T)
+                aput(ci, arow(ci) + to_px(wf * val))
+            aput(3 + c, jnp.where(hitc, 1.0, arow(3 + c)))
+        return unserved_count()
+
+    jax.lax.while_loop(cond, body, unserved_count())
+    return arow(0), arow(1), arow(2)
+
+
 def _sample_texture(texr_ref, texg_ref, texb_ref, u, v, th, tw):
     """Bilinear texture fetch with tex2D_cpu semantics (materials.h:20-51)
     as two one-hot MXU contractions per channel: wrap addressing, v flip,
@@ -524,7 +643,7 @@ def _sample_texture(texr_ref, texg_ref, texb_ref, u, v, th, tw):
 
 
 def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg, to_px,
-           pu=None, pv=None, tex_refs=None, flat=None):
+           pu=None, pv=None, tex_refs=None, flat=None, big_tex=None, ps=None):
     # `to_px` reshapes a flat (1, T) intersection row into the kernel's
     # pixel-tile shape (identity for 128-px tiles, (1,1024)->(8,128) for
     # big tiles so shading runs at full sublane utilization).
@@ -557,8 +676,7 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
 
     # texture-modulated albedo (camera.cu:233-236; tex2D_cpu parity),
     # skipped with a scalar branch when no lane in the tile is textured
-    if tex_refs is not None:
-        th, tw = tex_refs[0].shape
+    if tex_refs is not None or big_tex is not None:
         texid = row(J_TEXID)
         textured = (texid > -0.5) & hit
         # sphere uv from the OUTWARD normal (sphere.h:16-22); inverse trig
@@ -568,18 +686,30 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
         u_all = jnp.where(is_sph, u_s, to_px(pu))
         v_all = jnp.where(is_sph, v_s, to_px(pv))
 
-        def apply_tex():
-            tr, tg, tb = _sample_texture(
-                tex_refs[0], tex_refs[1], tex_refs[2], flat(u_all), flat(v_all), th, tw
+        if big_tex is not None:
+            # HBM demand-paged path: the while-loop runs zero iterations
+            # when no lane is textured, so no scalar gate is needed
+            tr, tg, tb = _tex_demand_fetch(
+                big_tex, u_all, v_all, textured, flat, to_px, ps
             )
-            m0 = jnp.where(textured, to_px(tr), 1.0)
-            m1 = jnp.where(textured, to_px(tg), 1.0)
-            m2 = jnp.where(textured, to_px(tb), 1.0)
-            return al0 * m0, al1 * m1, al2 * m2
+            al0 = al0 * jnp.where(textured, tr, 1.0)
+            al1 = al1 * jnp.where(textured, tg, 1.0)
+            al2 = al2 * jnp.where(textured, tb, 1.0)
+        else:
+            th, tw = tex_refs[0].shape
 
-        al0, al1, al2 = jax.lax.cond(
-            jnp.any(textured), apply_tex, lambda: (al0, al1, al2)
-        )
+            def apply_tex():
+                tr, tg, tb = _sample_texture(
+                    tex_refs[0], tex_refs[1], tex_refs[2], flat(u_all), flat(v_all), th, tw
+                )
+                m0 = jnp.where(textured, to_px(tr), 1.0)
+                m1 = jnp.where(textured, to_px(tg), 1.0)
+                m2 = jnp.where(textured, to_px(tb), 1.0)
+                return al0 * m0, al1 * m1, al2 * m2
+
+            al0, al1, al2 = jax.lax.cond(
+                jnp.any(textured), apply_tex, lambda: (al0, al1, al2)
+            )
 
     # miss -> background (camera.cu:226-229)
     miss = alive & ~hit
@@ -710,12 +840,31 @@ def _kernel(
     has_tex: bool = False,
     sample_block: int = 1,
     fast_math: bool = False,
+    persistent: bool = False,
+    big_tex: bool = False,
+    tex_th: int = 0,
+    tex_tw: int = 0,
 ):
     refs = list(refs)
+    tex_scr = None
+    if big_tex:  # scratch order: [persistent..., tex...] -> pop tex first
+        tex_scr = tuple(refs[-4:])  # blk (f32), aux (f32), cached (SMEM), sem
+        del refs[-4:]
+    scratch_refs = ()
+    if persistent:
+        scratch_refs = tuple(refs[-2:])  # state (f32), seed (u32)
+        del refs[-2:]
     tex_refs = None
+    big = None
     if has_tex:
-        tex_refs = tuple(refs[-4:-1])
+        t3 = tuple(refs[-4:-1])
         del refs[-4:-1]
+        if big_tex:
+            nbx = _round_up(tex_tw, 128) // 128
+            big = t3 + tex_scr + (tex_th, tex_tw, nbx)
+            tex_scr[2][0, 0] = -1  # invalidate the block cache
+        else:
+            tex_refs = t3
     if clustered:
         cbox_ref, proj_ref, const_ref, join_ref, out_ref = refs
     else:
@@ -759,6 +908,170 @@ def _kernel(
     base_seed = _wang_hash(base_lin)
 
     flat_n = ps[0] * 128  # elements per tile (pixels x samples)
+
+    if persistent:
+        # ------------------------------------------------------------------
+        # Persistent per-lane path regeneration (round 2): ONE while-loop
+        # per tile; every lane carries its own (sample, depth) progress and
+        # starts its next sample the moment its path terminates. This gets
+        # the exit coherence that made 128-px tiles win in round 1 at LANE
+        # granularity while shading runs at full (8, 128) sublane shapes —
+        # the two effects ROADMAP.md round-2 priority 1 asked to combine.
+        # RNG streams are bit-identical to the sample-loop mode (seeds
+        # depend only on (pixel, sample)); per-sample radiance accumulates
+        # into `final` and folds into `acc` at sample end, preserving the
+        # exact f32 summation grouping of the other engines.
+        # ------------------------------------------------------------------
+        assert sample_block == 1
+        # per-lane state lives in VMEM scratch refs, NOT loop carries:
+        # only a scalar `remaining` count is carried, which keeps Mosaic's
+        # while-carry layout inference out of the picture entirely (vector
+        # carries with mixed replicated/offset layouts hit unimplemented
+        # relayouts: "Sublane broadcast").
+        state_ref, seed_ref = scratch_refs
+        ps0 = ps[0]
+        row = lambda i: state_ref[i * ps0:(i + 1) * ps0, :]
+        F_S, F_DEPTH, F_ALIVE = 0, 1, 2
+        F_O, F_D, F_B, F_F, F_A = 3, 6, 9, 12, 15
+
+        def put(i, v):
+            state_ref[i * ps0:(i + 1) * ps0, :] = v
+
+        def put3(i, v3):
+            for c in range(3):
+                put(i + c, v3[c])
+
+        flat = lambda x: jnp.broadcast_to(x, ps).reshape(1, flat_n)
+        to_px = lambda r: r.reshape(ps)
+
+        # per-lane primary-ray pixel centers (camera.cu:218-224)
+        pcx = p00x + i_px * dux + j_px * dvx
+        pcy = p00y + i_px * duy + j_px * dvy
+        pcz = p00z + i_px * duz + j_px * dvz
+
+        kf = jnp.float32(strat_k) if strat_k else None
+
+        # s/depth bookkeeping is f32 (exact for these tiny ranges)
+        spp_f = jnp.float32(spp)
+        maxd_f = jnp.float32(max_depth)
+
+        put(F_S, jnp.where(valid, -1.0, spp_f))  # -1 = about to start s=0
+        put(F_DEPTH, jnp.broadcast_to(maxd_f, ps))  # forces regen on entry
+        put(F_ALIVE, jnp.zeros(ps, jnp.float32))
+        zero3 = (jnp.zeros(ps, jnp.float32),) * 3
+        put3(F_O, zero3)
+        put3(F_D, zero3)
+        put3(F_B, zero3)
+        put3(F_F, zero3)
+        put3(F_A, zero3)
+        seed_ref[...] = base_seed
+
+        def cond(remaining):
+            return remaining > 0
+
+        def body(remaining):
+            s = row(F_S)
+            depth = row(F_DEPTH)
+            alive = row(F_ALIVE) > 0.5
+            ox, oy, oz = row(F_O), row(F_O + 1), row(F_O + 2)
+            dx, dy, dz = row(F_D), row(F_D + 1), row(F_D + 2)
+            b0, b1, b2 = row(F_B), row(F_B + 1), row(F_B + 2)
+            f0, f1, f2 = row(F_F), row(F_F + 1), row(F_F + 2)
+            seed = seed_ref[...]
+
+            # -- sample boundary: fold the finished sample, regenerate ----
+            over = (~alive) | (depth >= maxd_f)
+            put(F_A + 0, row(F_A + 0) + jnp.where(over, f0, 0.0))
+            put(F_A + 1, row(F_A + 1) + jnp.where(over, f1, 0.0))
+            put(F_A + 2, row(F_A + 2) + jnp.where(over, f2, 0.0))
+            f0 = jnp.where(over, 0.0, f0)
+            f1 = jnp.where(over, 0.0, f1)
+            f2 = jnp.where(over, 0.0, f2)
+            s = jnp.where(over, jnp.minimum(s + 1.0, spp_f), s)
+            can = over & (s < spp_f) & valid
+
+            seed_r = _wang_hash(base_seed + s.astype(jnp.int32).astype(_U))
+            seed_r, ux = _rand(seed_r)
+            seed_r, uy = _rand(seed_r)
+            if strat_k:
+                cell_x = jnp.mod(s, kf)
+                cell_y = jnp.floor(s / kf)
+                offx = (cell_x + ux) / kf - 0.5
+                offy = (cell_y + uy) / kf - 0.5
+            else:
+                offx = ux - 0.5
+                offy = uy - 0.5
+            rdx = pcx + offx * dux + offy * dvx - ox0
+            rdy = pcy + offx * duy + offy * dvy - oy0
+            rdz = pcz + offx * duz + offy * dvz - oz0
+
+            ox = jnp.where(can, ox0, ox)
+            oy = jnp.where(can, oy0, oy)
+            oz = jnp.where(can, oz0, oz)
+            dx = jnp.where(can, rdx, dx)
+            dy = jnp.where(can, rdy, dy)
+            dz = jnp.where(can, rdz, dz)
+            b0 = jnp.where(can, 1.0, b0)
+            b1 = jnp.where(can, 1.0, b1)
+            b2 = jnp.where(can, 1.0, b2)
+            seed = jnp.where(can, seed_r, seed)
+            depth = jnp.where(over, 0.0, depth)
+            # no bool select_n in Mosaic (i8->i1 trunc): use logical masks
+            alive = (over & can) | (~over & alive)
+
+            # -- one bounce for every live lane ---------------------------
+            o8 = jnp.concatenate(
+                [flat(ox), flat(oy), flat(oz), jnp.zeros((5, flat_n), jnp.float32)],
+                axis=0,
+            )
+            d8 = jnp.concatenate(
+                [flat(dx), flat(dy), flat(dz), jnp.zeros((5, flat_n), jnp.float32)],
+                axis=0,
+            )
+            a = dx * dx + dy * dy + dz * dz
+            od = ox * dx + oy * dy + oz * dz
+            oo = ox * ox + oy * oy + oz * oz
+
+            if clustered:
+                t_best, rec, pu, pv = _intersect_clustered(
+                    proj_ref, const_ref, join_ref, cbox_ref, o8, d8,
+                    flat(a), flat(od), flat(oo),
+                    ox, oy, oz, dx, dy, dz, num_clusters=num_clusters, k=k,
+                    tile_px=flat_n, fast_math=fast_math,
+                )
+            else:
+                t_best, rec, pu, pv = _intersect_brute(
+                    proj_ref, const_ref, join_ref, o8, d8,
+                    flat(a), flat(od), flat(oo),
+                    num_s=num_s, num_p=num_p, n_pad=n_pad, tile_px=flat_n,
+                    fast_math=fast_math,
+                )
+
+            o3, d3, beta, fin, seed, alive = _shade(
+                rec, t_best, ox, oy, oz, dx, dy, dz, a, (b0, b1, b2),
+                (f0, f1, f2), seed, alive, (bgr, bgg, bgb), to_px,
+                pu=pu, pv=pv, tex_refs=tex_refs, flat=flat, big_tex=big, ps=ps,
+            )
+            put(F_S, s)
+            put(F_DEPTH, depth + 1.0)
+            put(F_ALIVE, jnp.where(alive, 1.0, 0.0))
+            put3(F_O, o3)
+            put3(F_D, d3)
+            put3(F_B, beta)
+            put3(F_F, fin)
+            seed_ref[...] = seed
+            return jnp.sum((s < spp_f).astype(jnp.int32))
+
+        jax.lax.while_loop(cond, body, jnp.sum(valid.astype(jnp.int32)))
+        # one more fold: the final sample of each lane ended inside the
+        # last iterations with its radiance still in `final`... no — the
+        # fold happens at the top of the NEXT iteration, and a lane only
+        # retires (s -> spp) in the same iteration its final sample folds,
+        # so at loop exit every contribution is already in the acc rows.
+        out_ref[0:1, :] = row(F_A + 0).reshape(1, tile_px)
+        out_ref[1:2, :] = row(F_A + 1).reshape(1, tile_px)
+        out_ref[2:3, :] = row(F_A + 2).reshape(1, tile_px)
+        return
 
     def one_sample(s, acc):
         if sample_block > 1:
@@ -836,7 +1149,7 @@ def _kernel(
             o3, d3, beta, final, seed, alive = _shade(
                 rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed,
                 alive, (bgr, bgg, bgb), to_px,
-                pu=pu, pv=pv, tex_refs=tex_refs, flat=flat,
+                pu=pu, pv=pv, tex_refs=tex_refs, flat=flat, big_tex=big, ps=ps,
             )
             return (depth + 1, o3, d3, beta, final, seed, alive.astype(jnp.int32))
 
@@ -869,12 +1182,12 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
-        "tile_px", "stratify", "sample_block", "fast_math",
+        "tile_px", "stratify", "sample_block", "fast_math", "persistent",
     ),
 )
 def _render_brute_jit(
     scene, cam, width, height, spp, max_depth, reference_quirk, interpret,
-    tile_px, stratify, sample_block, fast_math,
+    tile_px, stratify, sample_block, fast_math, persistent,
 ):
     """Whole brute path (packing included) under one jit: repeat frames
     dispatch ONE remote call instead of ~30 tiny eager ops (the eager
@@ -882,7 +1195,7 @@ def _render_brute_jit(
     return _render_frame_impl(
         scene, cam, width, height, spp, max_depth, reference_quirk,
         interpret, 0, tile_px, stratify, None, sample_block=sample_block,
-        fast_math=fast_math,
+        fast_math=fast_math, persistent=persistent,
     )
 
 
@@ -923,8 +1236,16 @@ def render_frame_pallas(
     stratify: bool = False,
     sample_block: int = 1,
     fast_math: bool = False,
+    persistent: bool = True,
 ):
     """Render one frame with the fused megakernel.
+
+    persistent=True (default since round 2) runs ONE while-loop per tile
+    with per-lane path regeneration: a lane starts its next sample the
+    moment its path dies, so lanes never idle on tile-mates and shading
+    runs at full (8, 128) sublane shapes with 1024-px tiles. Identical
+    RNG streams and summation grouping as the per-sample loop mode
+    (persistent=False, round-1 behavior).
 
     fast_math=True runs the in-kernel matmuls as 3-pass bf16x3 instead of
     6-pass f32-exact: ~25-30% faster, statistically identical images, but
@@ -933,12 +1254,13 @@ def render_frame_pallas(
     waived in this mode.
 
     cluster_k = 0 runs the brute-force strategy; > 0 enables packet
-    culling with K-primitive clusters. Textured scenes are supported for
-    a single texture layer up to MAX_TEX_DIM on a side (bilinear fetch as
-    one-hot MXU contractions, exact tex2D_cpu parity); larger textures
-    raise — callers fall back to the XLA path. Returns [height, width, 3]
-    raw sample sums — same contract (and same RNG streams) as
-    renderer.render_frame.
+    culling with K-primitive clusters. Textured scenes support a single
+    texture layer of ANY size: up to MAX_TEX_DIM a side the texture is
+    VMEM-resident (bilinear fetch as one-hot MXU contractions); larger
+    textures stay in HBM and are demand-paged in 128x128 blocks through
+    a VMEM cache (round 2) — both give exact tex2D_cpu parity. Returns
+    [height, width, 3] raw sample sums — same contract (and same RNG
+    streams) as renderer.render_frame.
 
     The brute path runs fully under jit (packing is trace-safe), so
     repeat frames cost one dispatch. The clustered path packs host-side
@@ -948,7 +1270,7 @@ def render_frame_pallas(
     if cluster_k == 0:
         return _render_brute_jit(
             scene, cam, width, height, spp, max_depth, reference_quirk,
-            interpret, tile_px, stratify, sample_block, fast_math,
+            interpret, tile_px, stratify, sample_block, fast_math, persistent,
         )
     key = (_scene_fingerprint(scene), cluster_k)
     tables = _CLUSTER_TABLE_CACHE.get(key)
@@ -965,7 +1287,7 @@ def render_frame_pallas(
         tables["cboxes"], tables["proj"], tables["const"], tables["join"],
         scene.textures, cam, width, height, spp, max_depth, reference_quirk,
         interpret, tables["num_clusters"], tables["k"], tile_px, stratify,
-        sample_block, fast_math,
+        sample_block, fast_math, persistent,
     )
 
 
@@ -974,39 +1296,42 @@ def render_frame_pallas(
     static_argnames=(
         "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
         "num_clusters", "k", "tile_px", "stratify", "sample_block", "fast_math",
+        "persistent",
     ),
 )
 def _render_clustered_jit(
     cboxes, proj, const, join, textures, cam, width, height, spp, max_depth,
     reference_quirk, interpret, num_clusters, k, tile_px, stratify,
-    sample_block, fast_math,
+    sample_block, fast_math, persistent,
 ):
     tables = dict(cboxes=cboxes, proj=proj, const=const, join=join,
                   num_clusters=num_clusters, k=k)
     return _render_frame_impl(
         None, cam, width, height, spp, max_depth, reference_quirk,
         interpret, k, tile_px, stratify, tables, textures=textures,
-        sample_block=sample_block, fast_math=fast_math,
+        sample_block=sample_block, fast_math=fast_math, persistent=persistent,
     )
 
 
 def _render_frame_impl(
     scene, cam, width, height, spp, max_depth, reference_quirk,
     interpret, cluster_k, tile_px, stratify, tables, textures=None,
-    sample_block=1, fast_math=False,
+    sample_block=1, fast_math=False, persistent=False,
 ):
     if sample_block > 1:
         assert tile_px == 128, "sample_block requires 128-px tiles"
+        persistent = False  # explicit sample-major request wins over default
     tex_src = scene.textures if scene is not None else textures
     has_tex = tex_src is not None
+    big_tex = False
+    th = tw = 0
     if has_tex:
         if tex_src.shape[0] != 1:
             raise PallasUnsupported("megakernel: one texture layer only")
         th, tw = tex_src.shape[1:3]
-        if max(th, tw) > MAX_TEX_DIM:
-            raise PallasUnsupported(
-                f"megakernel: texture {th}x{tw} exceeds {MAX_TEX_DIM} - use the XLA path"
-            )
+        # textures above MAX_TEX_DIM switch from VMEM residency to the
+        # HBM demand-paged block cache (no size cap)
+        big_tex = max(th, tw) > MAX_TEX_DIM
     assert tile_px % 128 == 0 and tile_px >= 128
     strat_k = 0
     if stratify:
@@ -1030,6 +1355,7 @@ def _render_frame_impl(
         tile_px=tile_px,
         sample_block=sample_block,
         fast_math=fast_math,
+        persistent=persistent,
         strat_k=strat_k,
         spp=spp,
         max_depth=max_depth,
@@ -1037,6 +1363,9 @@ def _render_frame_impl(
         num_pixels=num_pixels,
         quirk=reference_quirk,
         has_tex=has_tex,
+        big_tex=big_tex,
+        tex_th=th,
+        tex_tw=tw,
     )
 
     if cluster_k > 0:
@@ -1075,8 +1404,33 @@ def _render_frame_impl(
 
     if has_tex:
         tex = tex_src[0]
-        inputs = inputs + (tex[:, :, 0], tex[:, :, 1], tex[:, :, 2])
-        in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        if big_tex:
+            thp, twp = _round_up(th, 128), _round_up(tw, 128)
+            chans = tuple(
+                jnp.zeros((thp, twp), jnp.float32).at[:th, :tw].set(tex[:, :, c])
+                for c in range(3)
+            )
+            inputs = inputs + chans
+            # ANY keeps the texture in HBM; the kernel DMAs blocks on demand
+            in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+        else:
+            inputs = inputs + (tex[:, :, 0], tex[:, :, 1], tex[:, :, 2])
+            in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+
+    ps0 = sample_block if sample_block > 1 else tile_px // 128
+    scratch_shapes = []
+    if persistent:
+        scratch_shapes += [
+            pltpu.VMEM((18 * ps0, 128), jnp.float32),  # per-lane path state
+            pltpu.VMEM((ps0, 128), jnp.uint32),        # RNG state
+        ]
+    if big_tex:
+        scratch_shapes += [
+            pltpu.VMEM((3 * 128, 128), jnp.float32),   # cached texture block
+            pltpu.VMEM((7 * ps0, 128), jnp.float32),   # fetch accum + served
+            pltpu.SMEM((1, 1), jnp.int32),             # cached block id
+            pltpu.SemaphoreType.DMA,
+        ]
 
     out = pl.pallas_call(
         kernel,
@@ -1084,6 +1438,7 @@ def _render_frame_impl(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((3, tile_px), lambda g: (0, g), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, grid * tile_px), jnp.float32),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*inputs)
 
