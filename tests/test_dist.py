@@ -231,3 +231,52 @@ class TestMultiProcess:
             got = image_io.read_binary(str(tmp_path / f"mh_{n}.bin"))
             want = image_io.read_binary(str(tmp_path / f"ref_{n}.bin"))
             np.testing.assert_array_equal(got, want)
+
+
+class TestPallasSharded:
+    """Round-2 VERDICT item 5: the fused megakernel composes with the
+    mesh (shard_map over row bands, global row offset keeps seeds and
+    camera math identical to single-device)."""
+
+    def test_pallas_sharded_bit_identical(self, mesh):
+        import io as _io
+
+        from tracer.pallas import megakernel
+        from tracer.scene import builders, config
+
+        params = config.read_scene_params(_io.StringIO(config.smoke_config_text()))
+        scene = builders.create_scene(params, with_bvh=False,
+                                      texture_loader=lambda _: None)
+        w, h = 64, 44  # 44 rows over 8 devices: uneven bands + padding
+        cam = C.build_camera_data([-15.0, 0.0, 4.5], [0.0, 4.5, 0.0], w, h, 90.0)
+        single = np.asarray(
+            megakernel.render_frame_pallas(
+                scene, cam, w, h, 2, 4, interpret=True
+            )
+        )
+        shard = np.asarray(
+            sharding.render_frame_pallas_sharded(
+                scene, cam, w, h, 2, 4, mesh, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(shard, single)
+
+    def test_driver_pallas_mesh(self, tmp_path):
+        import io as _io
+
+        from tracer.render import driver
+        from tracer.scene import builders, config
+
+        params = config.read_scene_params(_io.StringIO(config.smoke_config_text()))
+        params.width, params.height = 32, 16
+        params.num_frames = 1
+        params.render.sqrt_rays_per_pixel = 1
+        params.render.max_depth = 2
+        params.output_path = str(tmp_path / "pm_%d.bin")
+        scene = builders.create_scene(params, texture_loader=lambda _: None)
+        mesh = sharding.make_mesh(jax.devices()[:8])
+        fb_m = driver.render_animation(scene, params, engine="pallas",
+                                       mesh=mesh, out=_io.StringIO())
+        fb_s = driver.render_animation(scene, params, engine="pallas",
+                                       out=_io.StringIO())
+        np.testing.assert_array_equal(np.asarray(fb_m), np.asarray(fb_s))

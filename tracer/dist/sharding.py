@@ -167,6 +167,71 @@ def render_frame_spp_sharded(
     return fb.reshape(height, width, 3)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "mesh",
+                     "reference_quirk", "interpret", "tile_px", "stratify",
+                     "fast_math", "persistent"),
+)
+def render_frame_pallas_sharded(
+    scene: Scene,
+    cam: camera_mod.CameraData,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    mesh: Mesh,
+    reference_quirk: bool = True,
+    interpret: bool = False,
+    tile_px: int = 1024,
+    stratify: bool = False,
+    fast_math: bool = False,
+    persistent: bool = True,
+):
+    """Fused Pallas megakernel under shard_map: each device renders a
+    contiguous band of image rows with its own pallas_call (round-2
+    VERDICT item 5 — the fast engine composes with the mesh).
+
+    The kernel receives the band's global row offset (params slot 15),
+    so seeds and camera math are in global pixel coordinates and the
+    result is BIT-identical to the single-device megakernel. Forward
+    needs zero communication; differentiating through this shard_map
+    psums scene gradients exactly like render_frame_sharded.
+    """
+    from tracer.pallas import megakernel
+
+    n_dev = mesh.devices.size
+    rows = -(-height // n_dev)  # ceil: bands below the image are sliced off
+
+    def shard_body(scene, cam):
+        def to_varying(x):
+            if not hasattr(x, "dtype"):
+                return x
+            try:
+                return jax.lax.pcast(x, (AXIS,), to="varying")
+            except AttributeError:
+                return jax.lax.pvary(x, AXIS)
+
+        scene, cam = jax.tree.map(to_varying, (scene, cam))
+        row0 = jax.lax.axis_index(AXIS) * rows
+        return megakernel._render_frame_impl(
+            scene, cam, width, rows, spp, max_depth, reference_quirk,
+            interpret, 0, tile_px, stratify, None,
+            fast_math=fast_math, persistent=persistent, row_offset=row0,
+        )
+
+    fb = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(AXIS),
+        # pallas_call's out_shape carries no vma annotation; the body is
+        # trivially device-varying (row0), so skip the vma check
+        check_vma=False,
+    )(scene, cam)
+    return fb[:height]
+
+
 def scene_grads_sharded(
     scene: Scene,
     cam: camera_mod.CameraData,

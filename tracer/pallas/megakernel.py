@@ -892,8 +892,12 @@ def _kernel(
         valid = lin < num_pixels
         lin = jnp.minimum(lin, num_pixels - 1)
         s_off = None
+    # row_offset (params slot 15) shifts local rows to GLOBAL image rows
+    # so a shard_map'd kernel keeps globally-consistent seeds and camera
+    # math — sharded output is bit-identical to single-device
+    row0 = params_ref[0, 15].astype(jnp.int32)
     i_int = lin % width  # column (i32)
-    j_int = lin // width  # row
+    j_int = lin // width + row0  # global row
     i_px = i_int.astype(jnp.float32)
     j_px = j_int.astype(jnp.float32)
 
@@ -902,7 +906,7 @@ def _kernel(
      bgr, bgg, bgb) = p
 
     # integer->uint32 only (Mosaic has no f32->u32 cast)
-    iu = lin.astype(_U)
+    iu = (lin + row0 * width).astype(_U)  # global linear pixel id
     wu = _U(width)
     base_lin = (i_int.astype(_U) * wu + j_int.astype(_U)) if quirk else iu
     base_seed = _wang_hash(base_lin)
@@ -1187,7 +1191,7 @@ def _kernel(
 )
 def _render_brute_jit(
     scene, cam, width, height, spp, max_depth, reference_quirk, interpret,
-    tile_px, stratify, sample_block, fast_math, persistent,
+    tile_px, stratify, sample_block, fast_math, persistent, row_offset=0,
 ):
     """Whole brute path (packing included) under one jit: repeat frames
     dispatch ONE remote call instead of ~30 tiny eager ops (the eager
@@ -1195,7 +1199,7 @@ def _render_brute_jit(
     return _render_frame_impl(
         scene, cam, width, height, spp, max_depth, reference_quirk,
         interpret, 0, tile_px, stratify, None, sample_block=sample_block,
-        fast_math=fast_math, persistent=persistent,
+        fast_math=fast_math, persistent=persistent, row_offset=row_offset,
     )
 
 
@@ -1316,7 +1320,7 @@ def _render_clustered_jit(
 def _render_frame_impl(
     scene, cam, width, height, spp, max_depth, reference_quirk,
     interpret, cluster_k, tile_px, stratify, tables, textures=None,
-    sample_block=1, fast_math=False, persistent=False,
+    sample_block=1, fast_math=False, persistent=False, row_offset=0,
 ):
     if sample_block > 1:
         assert tile_px == 128, "sample_block requires 128-px tiles"
@@ -1347,7 +1351,8 @@ def _render_frame_impl(
             cam.pixel_delta_u,
             cam.pixel_delta_v,
             cam.background,
-            jnp.zeros((9,), jnp.float32),
+            jnp.asarray(row_offset, jnp.float32).reshape(1),
+            jnp.zeros((8,), jnp.float32),
         ]
     ).reshape(1, 24)
 

@@ -105,21 +105,29 @@ def render_animation(
             import jax
 
             try:
-                fb_dev = megakernel.render_frame_pallas(
-                    scene, cam, width, height, spp=spp,
-                    max_depth=params.render.max_depth,
-                    reference_quirk=reference_quirk,
-                    interpret=jax.default_backend() == "cpu",
-                    stratify=stratify, fast_math=fast_math,
-                )
+                if mesh is not None:
+                    from tracer.dist import sharding
+
+                    fb_dev = sharding.render_frame_pallas_sharded(
+                        scene, cam, width, height, spp,
+                        params.render.max_depth, mesh,
+                        reference_quirk=reference_quirk,
+                        interpret=jax.default_backend() == "cpu",
+                        stratify=stratify, fast_math=fast_math,
+                    )
+                else:
+                    fb_dev = megakernel.render_frame_pallas(
+                        scene, cam, width, height, spp=spp,
+                        max_depth=params.render.max_depth,
+                        reference_quirk=reference_quirk,
+                        interpret=jax.default_backend() == "cpu",
+                        stratify=stratify, fast_math=fast_math,
+                    )
             except megakernel.PallasUnsupported as e:
                 print(f"pallas engine unavailable ({e}); using XLA", file=sys.stderr)
                 engine = "xla"
         if engine == "pallas":
-            if mesh is not None:
-                print("tracer: engine='pallas' renders single-device; "
-                      "ignoring mesh (use engine='xla' for sharded render)",
-                      file=sys.stderr)
+            pass  # fb_dev rendered above (sharded when a mesh was given)
         elif mesh is not None:
             from tracer.dist import sharding
 
