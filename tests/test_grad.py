@@ -148,3 +148,38 @@ class TestSceneGradients:
         for leaf in jax.tree_util.tree_leaves(grads):
             if jnp.issubdtype(leaf.dtype, jnp.floating):
                 assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestReplayVJP:
+    """Round-2 fast backward: record-forward + gather-replay VJP
+    (tracer.pallas.replay) must agree with the remat oracle."""
+
+    def test_replay_reproduces_recorded_forward(self):
+        from tracer.pallas import megakernel, replay
+
+        scene = _scene()
+        fb, idx = megakernel.render_frame_pallas_record(
+            scene, _cam(), W, H, SPP, DEPTH, interpret=True
+        )
+        fb_rep = replay.render_frame_replay(scene, _cam(), idx, W, H, SPP, DEPTH)
+        # same streams and branches; only ulp-level f32 phrasing differs
+        np.testing.assert_allclose(np.asarray(fb_rep), np.asarray(fb), atol=1e-6)
+
+    def test_replay_grads_match_remat(self):
+        from tracer.pallas import diff as pdiff
+
+        scene = _scene()
+
+        def loss(scene, mode):
+            fb = pdiff.render_frame_diff(scene, _cam(), W, H, SPP, DEPTH,
+                                         mode=mode)
+            return jnp.sum(fb * fb) / (W * H * SPP)
+
+        g_rep = jax.grad(lambda s: loss(s, "replay"), allow_int=True)(scene)
+        g_rem = jax.grad(lambda s: loss(s, "remat"), allow_int=True)(scene)
+        for a, b in zip(jax.tree_util.tree_leaves(g_rep),
+                        jax.tree_util.tree_leaves(g_rem)):
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                an, bn = np.asarray(a), np.asarray(b)
+                tol = 1e-5 * max(1.0, float(np.abs(bn).max()))
+                np.testing.assert_allclose(an, bn, atol=tol, rtol=1e-4)

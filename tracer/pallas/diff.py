@@ -1,16 +1,20 @@
-"""Differentiable megakernel: Pallas forward, XLA reverse.
+"""Differentiable megakernel: Pallas forward, replay (or remat) reverse.
 
-The custom-VJP boundary of SURVEY.md §7 stage 6: the fused Pallas
-megakernel is the speed-of-light forward, and the backward pass re-traces
-the mathematically identical XLA renderer (same wang_hash streams, same
-fixed 8-draw scatter, same masks) under reverse-mode AD. Because both
-paths consume identical RNG and make identical discrete decisions, the
-recomputed primal matches the kernel's output (modulo f32 reassociation)
-and the straight-through gradients are consistent with tests/test_grad's
-finite-difference checks.
+The custom-VJP boundary of SURVEY.md §7 stage 6, upgraded in round 2:
 
-This is the standard remat-style trade: no residuals are saved by the
-kernel at all; the backward recomputes everything once.
+mode="replay" (default) — the forward runs the fused Pallas kernel in
+RECORDING mode (megakernel.render_frame_pallas_record), which writes the
+winning primitive index of every (pixel, sample, bounce) to HBM. The
+backward differentiates tracer.pallas.replay.render_frame_replay, which
+re-shades each bounce by gathering that recorded winner — no O(prims)
+intersection search, which is what dominated the round-1 remat backward.
+Identical RNG streams and discrete branches make the replayed primal
+bit-equal to the kernel output, so the VJP is exact for this program.
+
+mode="remat" — round-1 behavior, kept as the oracle: no residuals, the
+backward re-traces the mathematically identical XLA renderer under
+reverse-mode AD. tests/test_grad pins replay gradients against both this
+and finite differences.
 """
 
 from __future__ import annotations
@@ -23,31 +27,70 @@ from tracer.pallas import megakernel
 from tracer.render import renderer
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
-)
-def render_frame_diff(
-    scene,
-    cam,
-    width: int,
-    height: int,
-    spp: int,
-    max_depth: int,
-    reference_quirk: bool = True,
-):
-    """Raw sample sums [H, W, 3]; forward = Pallas, backward = XLA remat."""
+# ----------------------------------------------------------------------
+# replay-mode VJP (round 2): record forward, gather-replay backward
+# ----------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _render_replay_diff(scene, cam, width, height, spp, max_depth,
+                        reference_quirk=True):
+    fb, _ = megakernel.render_frame_pallas_record(
+        scene, cam, width, height, spp, max_depth,
+        reference_quirk=reference_quirk,
+        interpret=jax.default_backend() == "cpu",
+    )
+    return fb
+
+
+def _replay_fwd(scene, cam, width, height, spp, max_depth, reference_quirk):
+    fb, idx = megakernel.render_frame_pallas_record(
+        scene, cam, width, height, spp, max_depth,
+        reference_quirk=reference_quirk,
+        interpret=jax.default_backend() == "cpu",
+    )
+    return fb, (scene, cam, idx)
+
+
+def _replay_bwd(width, height, spp, max_depth, reference_quirk, residuals, g):
+    from tracer.pallas import replay
+
+    scene, cam, idx = residuals
+
+    def replay_render(scene, cam):
+        return replay.render_frame_replay(
+            scene, cam, idx, width, height, spp, max_depth,
+            reference_quirk=reference_quirk,
+            chunk=min(renderer.DEFAULT_CHUNK, width * height),
+        )
+
+    _, vjp = jax.vjp(replay_render, scene, cam)
+    return vjp(g)
+
+
+_render_replay_diff.defvjp(_replay_fwd, _replay_bwd)
+
+
+# ----------------------------------------------------------------------
+# remat-mode VJP (round 1): no residuals, full re-trace backward
+# ----------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _render_remat_diff(scene, cam, width, height, spp, max_depth,
+                       reference_quirk=True):
     return megakernel.render_frame_pallas(
         scene, cam, width, height, spp, max_depth, reference_quirk=reference_quirk,
         interpret=jax.default_backend() == "cpu",
     )
 
 
-def _fwd(scene, cam, width, height, spp, max_depth, reference_quirk):
-    out = render_frame_diff(scene, cam, width, height, spp, max_depth, reference_quirk)
+def _remat_fwd(scene, cam, width, height, spp, max_depth, reference_quirk):
+    out = _render_remat_diff(scene, cam, width, height, spp, max_depth, reference_quirk)
     return out, (scene, cam)
 
 
-def _bwd(width, height, spp, max_depth, reference_quirk, residuals, g):
+def _remat_bwd(width, height, spp, max_depth, reference_quirk, residuals, g):
     scene, cam = residuals
 
     def xla_render(scene, cam):
@@ -61,4 +104,11 @@ def _bwd(width, height, spp, max_depth, reference_quirk, residuals, g):
     return vjp(g)
 
 
-render_frame_diff.defvjp(_fwd, _bwd)
+_render_remat_diff.defvjp(_remat_fwd, _remat_bwd)
+
+
+def render_frame_diff(scene, cam, width, height, spp, max_depth,
+                      reference_quirk=True, mode="replay"):
+    """Raw sample sums [H, W, 3]; forward = Pallas, backward = `mode`."""
+    fn = _render_replay_diff if mode == "replay" else _render_remat_diff
+    return fn(scene, cam, width, height, spp, max_depth, reference_quirk)

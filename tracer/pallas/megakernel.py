@@ -299,7 +299,7 @@ def _winner_join(t_blk, join_blk, iota_k, k, fast_math=False):
         rec = jnp.dot(join_blk[:jr] + join_blk[jr:], onehot,
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
-    return t_best, rec, onehot
+    return t_best, rec, onehot, widx
 
 
 def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *,
@@ -355,7 +355,7 @@ def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *,
     t_all = jnp.concatenate(t_parts, axis=0) if len(t_parts) > 1 else t_parts[0]
 
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
-    t_best, rec, onehot = _winner_join(t_all, join_ref[:], iota_n, n_pad, fast_math)
+    t_best, rec, onehot, widx = _winner_join(t_all, join_ref[:], iota_n, n_pad, fast_math)
     if num_p:
         oh_p = onehot[num_s:n]
         pu = jnp.sum(oh_p * alpha, axis=0, keepdims=True)
@@ -363,7 +363,7 @@ def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *,
     else:
         pu = jnp.zeros_like(t_best)
         pv = jnp.zeros_like(t_best)
-    return t_best, rec, pu, pv
+    return t_best, rec, pu, pv, widx
 
 
 def _intersect_clustered(
@@ -844,6 +844,7 @@ def _kernel(
     big_tex: bool = False,
     tex_th: int = 0,
     tex_tw: int = 0,
+    record_idx: bool = False,
 ):
     refs = list(refs)
     tex_scr = None
@@ -854,6 +855,11 @@ def _kernel(
     if persistent:
         scratch_refs = tuple(refs[-2:])  # state (f32), seed (u32)
         del refs[-2:]
+    idx_ref = None
+    if record_idx:
+        assert not (clustered or persistent or sample_block > 1)
+        idx_ref = refs.pop()  # second output: [spp*max_depth, tile] i32
+        idx_ref[...] = jnp.full(idx_ref.shape, -1, jnp.int32)
     tex_refs = None
     big = None
     if has_tex:
@@ -1044,7 +1050,7 @@ def _kernel(
                     tile_px=flat_n, fast_math=fast_math,
                 )
             else:
-                t_best, rec, pu, pv = _intersect_brute(
+                t_best, rec, pu, pv, widx = _intersect_brute(
                     proj_ref, const_ref, join_ref, o8, d8,
                     flat(a), flat(od), flat(oo),
                     num_s=num_s, num_p=num_p, n_pad=n_pad, tile_px=flat_n,
@@ -1143,12 +1149,20 @@ def _kernel(
                     tile_px=flat_n, fast_math=fast_math,
                 )
             else:
-                t_best, rec, pu, pv = _intersect_brute(
+                t_best, rec, pu, pv, widx = _intersect_brute(
                     proj_ref, const_ref, join_ref, o8, d8,
                     flat(a), flat(od), flat(oo),
                     num_s=num_s, num_p=num_p, n_pad=n_pad, tile_px=flat_n,
                     fast_math=fast_math,
                 )
+
+            if record_idx:
+                # winner index for the differentiable replay backward
+                # (tracer.pallas.replay): -1 = miss; dead lanes record
+                # garbage that replay masks out via its own alive chain
+                hit_r = t_best < jnp.float32(0.5 * K_INFINITY)
+                val = jnp.where(hit_r, widx, -1)
+                idx_ref[pl.ds(s * max_depth + depth, 1), :] = val
 
             o3, d3, beta, final, seed, alive = _shade(
                 rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed,
@@ -1299,6 +1313,32 @@ def render_frame_pallas(
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
+        "tile_px", "stratify", "fast_math",
+    ),
+)
+def render_frame_pallas_record(
+    scene, cam, width, height, spp, max_depth, reference_quirk=True,
+    interpret=False, tile_px=128, stratify=False, fast_math=False,
+):
+    """Forward render that ALSO records the per-bounce winner primitive
+    index: returns (fb [H,W,3], idx [spp, max_depth, H*W] i32, -1=miss).
+
+    The index tape is what makes the fast backward possible: the replay
+    VJP (tracer.pallas.replay) re-shades each bounce differentiably by
+    GATHERING the recorded winner instead of re-running the O(prims)
+    intersection search that dominates the remat backward.
+    """
+    return _render_frame_impl(
+        scene, cam, width, height, spp, max_depth, reference_quirk,
+        interpret, 0, tile_px, stratify, None, sample_block=1,
+        fast_math=fast_math, persistent=False, record_idx=True,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
         "num_clusters", "k", "tile_px", "stratify", "sample_block", "fast_math",
         "persistent",
     ),
@@ -1321,6 +1361,7 @@ def _render_frame_impl(
     scene, cam, width, height, spp, max_depth, reference_quirk,
     interpret, cluster_k, tile_px, stratify, tables, textures=None,
     sample_block=1, fast_math=False, persistent=False, row_offset=0,
+    record_idx=False,
 ):
     if sample_block > 1:
         assert tile_px == 128, "sample_block requires 128-px tiles"
@@ -1371,6 +1412,7 @@ def _render_frame_impl(
         big_tex=big_tex,
         tex_th=th,
         tex_tw=tw,
+        record_idx=record_idx,
     )
 
     if cluster_k > 0:
@@ -1437,15 +1479,34 @@ def _render_frame_impl(
             pltpu.SemaphoreType.DMA,
         ]
 
+    out_specs = pl.BlockSpec((3, tile_px), lambda g: (0, g), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((3, grid * tile_px), jnp.float32)
+    if record_idx:
+        rows = spp * max_depth
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((rows, tile_px), lambda g: (0, g), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((rows, grid * tile_px), jnp.int32),
+        ]
+
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((3, tile_px), lambda g: (0, g), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, grid * tile_px), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*inputs)
+
+    if record_idx:
+        out, idx = out
+        fb = jnp.transpose(out[:, :num_pixels]).reshape(height, width, 3)
+        # [spp, max_depth, num_pixels] winner indices for the replay VJP
+        return fb, idx[:, :num_pixels].reshape(spp, max_depth, num_pixels)
 
     fb = out[:, :num_pixels]  # [3, N]
     return jnp.transpose(fb).reshape(height, width, 3)

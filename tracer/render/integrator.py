@@ -70,10 +70,14 @@ def _joined_hit(scene: Scene, origin, direction, intersector: str):
     )
 
 
-def _bounce(scene: Scene, background, carry, intersector: str, rng_mode: str = "fixed"):
+def _bounce(scene: Scene, background, carry, intersector: str, rng_mode: str = "fixed",
+            joined_hit_fn=None):
     origin, direction, beta, final, seed, alive = carry
 
-    rec = _joined_hit(scene, origin, direction, intersector)
+    # joined_hit_fn lets callers swap the O(prims) search for a recorded
+    # winner gather (tracer.pallas.replay) — everything downstream of the
+    # hit is shared
+    rec = (joined_hit_fn or _joined_hit)(scene, origin, direction, intersector)
 
     # Miss: final += beta * background, path dies (camera.cu:226-229).
     miss = alive & ~rec.hit
