@@ -1,21 +1,24 @@
-"""Benchmark: forward path-trace throughput on the canonical scene.
+"""Benchmark matrix: forward + fwd/bwd throughput on the BASELINE configs.
 
-Renders the reference config.txt scene (SURVEY.md §6: ~105 planes + ~94
-spheres) at 800x600, 32 spp, depth 50 (BASELINE.md measurement config 3)
-on the default JAX backend and prints ONE JSON line:
+Emits one JSON line per measured config (BENCH_r{N}.json becomes a
+list). The FIRST line is the headline metric — forward Mrays/s on the
+canonical config.txt scene (BASELINE.md measurement config 3) WITH the
+real 2000x1330 floor texture (loaded from the reference's floor.jpg
+when present; a synthetic texture of the same size otherwise — the
+demand-paged texture path costs the same either way):
 
   {"metric": "fwd_mrays_per_s", "value": N, "unit": "Mrays/s",
    "vs_baseline": N, "engine": "..."}
 
-`vs_baseline` is measured Mrays/s divided by the BASELINE.json single-
-chip target (1 Grays/s on a v5p-8 ~= 250 Mrays/s per chip; this chip is
-a v5e, but the target is kept fixed so rounds are comparable).
+Further lines: untextured forward (round-1 comparable), fwd+bwd via the
+record/replay VJP, and the 2000-sphere scene (BASELINE config 5 scale).
 
-The fused Pallas megakernel (packet-culled) is tried first; the chunked
-XLA renderer is the fallback. Timing syncs with a tiny host fetch
-(block_until_ready does not block on the tunneled axon backend), and the
-measurement runs in a watchdog subprocess so a dead TPU tunnel produces
-a JSON error line instead of a hang.
+`vs_baseline` divides by the BASELINE.json single-chip target
+(1 Grays/s on a v5p-8 ~= 250 Mrays/s per chip; this chip is a v5e, but
+the target is kept fixed so rounds are comparable). Timing syncs with a
+tiny host fetch (block_until_ready does not block on the tunneled axon
+backend), and the whole measurement runs in a watchdog subprocess so a
+dead TPU tunnel produces a JSON error line instead of a hang.
 """
 
 from __future__ import annotations
@@ -30,71 +33,176 @@ import time
 BASELINE_MRAYS_PER_CHIP = 250.0
 
 WIDTH, HEIGHT, SPP, DEPTH = 800, 600, 32, 50
-CHILD_TIMEOUT_S = int(os.environ.get("TRACER_BENCH_TIMEOUT", "1500"))
+FLOOR_JPG = "/root/reference/floor.jpg"
+CHILD_TIMEOUT_S = int(os.environ.get("TRACER_BENCH_TIMEOUT", "2400"))
 
 
-def _measure() -> int:
-    from tracer.render import camera as camera_mod
-    from tracer.render import renderer
-    from tracer.scene import builders, config
+def _emit(metric, mrays, extra=None):
+    rec = {
+        "metric": metric,
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS_PER_CHIP, 4),
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
 
-    params = config.read_scene_params(io.StringIO(config.default_config_text()))
-    scene = builders.create_scene(params, texture_loader=lambda _: None)
 
-    def cam_at(k):
-        lf, la = camera_mod.camera_path_position(params.camera_path, k, params.num_frames)
-        return camera_mod.build_camera_data(
-            origin=lf, look_at=la, width=WIDTH, height=HEIGHT, vfov=params.fov_degrees
-        )
+def _floor_texture_loader(path):
+    """Load the reference floor.jpg (2000x1330, stbi 2.2-gamma semantics);
+    fall back to a synthetic texture of the same size."""
+    import numpy as np
 
-    def run_pallas(cam):
-        from tracer.pallas import megakernel
+    from tracer.io import texture as texture_io
 
-        fb = megakernel.render_frame_pallas(
-            scene, cam, WIDTH, HEIGHT, spp=SPP, max_depth=DEPTH,
-            tile_px=128,  # 128-px tiles exit the bounce loop most coherently
-            fast_math=True,  # bf16x3 matmuls: statistically identical images
-        )
-        float(fb[0, 0, 0])  # reliable sync (tiny host fetch)
-        return fb
+    if os.path.exists(FLOOR_JPG):
+        tex = texture_io.load_texture(FLOOR_JPG)
+        if tex is not None:
+            return tex
+    g = np.random.default_rng(0)
+    return g.uniform(0.1, 1.0, size=(1330, 2000, 3)).astype(np.float32)
 
-    def run_xla(cam):
-        fb = renderer.render_frame(
-            scene, cam, WIDTH, HEIGHT, spp=SPP, max_depth=DEPTH, chunk=16384,
-            early_exit=True,
-        )
-        float(fb[0, 0, 0])
-        return fb
 
-    engine, run = "pallas", run_pallas
-    try:
-        run(cam_at(0))  # compile check
-    except Exception as e:
-        print(f"pallas engine unavailable ({type(e).__name__}); falling back to XLA",
-              file=sys.stderr)
-        engine, run = "xla", run_xla
-        run(cam_at(0))
-
-    # Time 3 frames with distinct camera params (defeats any caching).
+def _time_frames(run, cam_at, nframes=3):
+    run(cam_at(0))  # compile
     times = []
-    for k in range(1, 4):
+    for k in range(1, 1 + nframes):
         t0 = time.perf_counter()
         run(cam_at(k))
         times.append(time.perf_counter() - t0)
+    return min(times)
 
-    best = min(times)
-    mrays = WIDTH * HEIGHT * SPP / best / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "fwd_mrays_per_s",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / BASELINE_MRAYS_PER_CHIP, 4),
-                "engine": engine,
-            }
+
+def _measure() -> int:
+    import numpy as np
+
+    from tracer.render import camera as camera_mod
+    from tracer.scene import builders, config
+    from tracer.pallas import megakernel
+
+    params = config.read_scene_params(io.StringIO(config.default_config_text()))
+    scene_tex = builders.create_scene(params, texture_loader=_floor_texture_loader)
+    scene_untex = scene_tex._replace(textures=None)
+
+    def cam_at(k, w=WIDTH, h=HEIGHT):
+        lf, la = camera_mod.camera_path_position(params.camera_path, k, params.num_frames)
+        return camera_mod.build_camera_data(
+            origin=lf, look_at=la, width=w, height=h, vfov=params.fov_degrees
         )
-    )
+
+    def run_pallas(scene, **kw):
+        def run(cam):
+            fb = megakernel.render_frame_pallas(
+                scene, cam, WIDTH, HEIGHT, spp=SPP, max_depth=DEPTH,
+                fast_math=True, **kw,
+            )
+            float(fb[0, 0, 0])  # reliable sync (tiny host fetch)
+            return fb
+        return run
+
+    def run_xla(scene):
+        from tracer.render import renderer
+
+        def run(cam):
+            fb = renderer.render_frame(
+                scene, cam, WIDTH, HEIGHT, spp=SPP, max_depth=DEPTH,
+                chunk=16384, early_exit=True,
+            )
+            float(fb[0, 0, 0])
+            return fb
+        return run
+
+    rays = WIDTH * HEIGHT * SPP
+
+    # 1. headline: textured canonical scene (BASELINE config 3 as written)
+    try:
+        best = _time_frames(run_pallas(scene_tex), cam_at)
+        _emit("fwd_mrays_per_s", rays / best / 1e6, {"engine": "pallas", "textured": True})
+    except Exception as e:
+        print(f"pallas textured failed ({type(e).__name__}); XLA fallback",
+              file=sys.stderr)
+        best = _time_frames(run_xla(scene_tex), cam_at)
+        _emit("fwd_mrays_per_s", rays / best / 1e6, {"engine": "xla", "textured": True})
+
+    # 2. untextured canonical scene (round-1 comparable)
+    try:
+        best = _time_frames(run_pallas(scene_untex), cam_at)
+        _emit("fwd_untextured_mrays_per_s", rays / best / 1e6, {"engine": "pallas"})
+    except Exception as e:
+        print(f"untextured bench failed: {e}", file=sys.stderr)
+
+    # 3. fwd+bwd via the record/replay VJP (round-1 remat was 1.9 Mrays/s
+    #    at this shape)
+    try:
+        import jax
+        import jax.numpy as jnp
+        from tracer.pallas import diff as pallas_diff
+
+        gw, gh, gspp, gdepth = 512, 384, 8, 8
+
+        def loss(scene, cam):
+            fb = pallas_diff.render_frame_diff(scene, cam, gw, gh, gspp, gdepth)
+            return jnp.mean(fb * fb)
+
+        grad_fn = jax.jit(jax.grad(loss, allow_int=True))
+
+        def run_grad(cam):
+            g = grad_fn(scene_untex, cam)
+            float(g.materials.albedo[0, 0])
+            return g
+
+        best = _time_frames(lambda cam: run_grad(cam),
+                            lambda k: cam_at(k, gw, gh))
+        _emit("fwdbwd_mrays_per_s", gw * gh * gspp / best / 1e6,
+              {"engine": "pallas+replay", "shape": f"{gw}x{gh}x{gspp}spp d{gdepth}"})
+    except Exception as e:
+        print(f"fwd+bwd bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # 4. 2000-sphere scene (BASELINE config 5 scale), forward
+    try:
+        g = np.random.default_rng(3)
+        n = 2000
+        centers = g.uniform(-40, 40, size=(n, 3)).astype(np.float32)
+        centers[:, 2] = np.abs(centers[:, 2]) * 0.25 + 0.5
+        radii = g.uniform(0.3, 1.0, size=(n,)).astype(np.float32)
+        from tracer.scene import types as T
+
+        mats = T.make_materials(
+            mtype=np.array([T.LAMBERTIAN, T.METAL, T.DIFFUSE_LIGHT], np.int32),
+            fuzz=np.array([0, 0.2, 0], np.float32),
+            ir=np.ones(3, np.float32),
+            absorption=np.zeros((3, 3), np.float32),
+            albedo=np.array([[0.7, 0.5, 0.4], [0.8, 0.8, 0.9], [0, 0, 0]], np.float32),
+            emit=np.array([[0, 0, 0], [0, 0, 0], [9, 8, 7]], np.float32),
+            tex_id=np.full(3, -1, np.int32),
+        )
+        big = T.Scene(
+            spheres=T.make_spheres(centers, radii, (np.arange(n) % 3).astype(np.int32)),
+            planes=T.make_planes(
+                np.array([T.QUAD], np.int32),
+                np.array([[-60, -60, 0]], np.float32),
+                np.array([[120, 0, 0]], np.float32),
+                np.array([[0, 120, 0]], np.float32),
+                np.array([0], np.int32),
+            ),
+            materials=mats, textures=None, bvh=None,
+        )
+        bspp, bdepth = 8, 20
+
+        def run_big(cam):
+            fb = megakernel.render_frame_pallas(
+                big, cam, WIDTH, HEIGHT, spp=bspp, max_depth=bdepth, fast_math=True
+            )
+            float(fb[0, 0, 0])
+            return fb
+
+        best = _time_frames(run_big, lambda k: cam_at(k))
+        _emit("fwd_2000sph_mrays_per_s", WIDTH * HEIGHT * bspp / best / 1e6,
+              {"engine": "pallas", "spp": bspp, "depth": bdepth})
+    except Exception as e:
+        print(f"2000-sphere bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     return 0
 
 
@@ -110,7 +218,9 @@ def main() -> int:
         )
         sys.stdout.write(r.stdout)
         sys.stderr.write(r.stderr[-2000:])
-        return r.returncode
+        if '"metric"' in r.stdout:
+            return 0
+        return r.returncode or 1
     except subprocess.TimeoutExpired as e:
         if e.stdout:
             out = e.stdout.decode() if isinstance(e.stdout, bytes) else e.stdout

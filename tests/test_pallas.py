@@ -282,3 +282,32 @@ def test_persistent_stratified_matches_sample_loop():
         )
     )
     np.testing.assert_array_equal(got, base)
+
+
+def test_culled_matches_legacy_clustered():
+    """The round-2 demand-driven culled intersector must reproduce the
+    legacy per-cluster-cond path exactly (same tables, same winner
+    tie-breaks) — and run under the persistent kernel."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_scale import _big_scene
+
+    scene = _big_scene(300)._replace(bvh=None)
+    w, h = 32, 8
+    cam = C.build_camera_data([0, -40, 10], [0, 0, 2], w, h, 50.0,
+                              background=(0.2, 0.3, 0.5))
+    legacy = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=2, max_depth=3, interpret=True,
+            cluster_k=16, culled=False, persistent=False,
+        )
+    )
+    for pers in (False, True):
+        got = np.asarray(
+            megakernel.render_frame_pallas(
+                scene, cam, w, h, spp=2, max_depth=3, interpret=True,
+                cluster_k=16, culled=True, persistent=pers, cull_group=3,
+            )
+        )
+        np.testing.assert_array_equal(got, legacy)

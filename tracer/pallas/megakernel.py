@@ -454,6 +454,158 @@ def _intersect_clustered(
     return jax.lax.fori_loop(0, num_clusters, body, (t0, rec0, uv0, uv0))
 
 
+def _intersect_culled(
+    proj_ref, const_ref, join_ref, cboxv_ref, cull_scr, o8, d8, a, od, oo,
+    ox, oy, oz, dx, dy, dz, *, num_clusters, k, group, tile_px, fast_math,
+):
+    """Demand-driven packet culling (round 2, replaces per-cluster cond).
+
+    Round 1 measured that a scalar `lax.cond` per cluster stalls the
+    pipeline ~100x its compute and LOSES to brute everywhere. This is
+    the redesign from docs/ROADMAP.md: a fully VECTORIZED slab pass
+    marks every cluster any ray can hit, then a while-loop visits only
+    the marked clusters, `group` at a time (scalar argmax selection +
+    dynamic-slice table loads), so the per-iteration scalar overhead is
+    amortized over `group` clusters and invisible clusters cost nothing.
+    Demand and the running winner live in VMEM scratch (the kernel's
+    standard trick to keep vector state out of while-loop carries).
+
+    cboxv_ref: [Cp, 8] VMEM cluster AABBs (lo3, hi3, pad; empty boxes on
+    padding rows). cull_scr: [JROWS + 4 + cdiv(Cp,?) ...] — see caller.
+    Returns (t_best (1,T), rec (JROWS,T), pu, pv) like the other
+    intersectors.
+    """
+    T = tile_px
+    demand_ref, best_ref = cull_scr  # [Cp, 128] f32, [JROWS + 3, T] f32
+
+    # ---- vectorized visibility pass: slab vs every cluster ----------
+    eps = 1e-30
+    sdx = jnp.where(jnp.abs(dx) < eps, jnp.where(dx < 0, -eps, eps), dx)
+    sdy = jnp.where(jnp.abs(dy) < eps, jnp.where(dy < 0, -eps, eps), dy)
+    sdz = jnp.where(jnp.abs(dz) < eps, jnp.where(dz < 0, -eps, eps), dz)
+    fox, foy, foz = _fl(ox, T), _fl(oy, T), _fl(oz, T)
+    ivx, ivy, ivz = 1.0 / _fl(sdx, T), 1.0 / _fl(sdy, T), 1.0 / _fl(sdz, T)
+    lox = cboxv_ref[:, 0:1]
+    loy = cboxv_ref[:, 1:2]
+    loz = cboxv_ref[:, 2:3]
+    hix = cboxv_ref[:, 3:4]
+    hiy = cboxv_ref[:, 4:5]
+    hiz = cboxv_ref[:, 5:6]
+    tx1 = (lox - fox) * ivx
+    tx2 = (hix - fox) * ivx
+    ty1 = (loy - foy) * ivy
+    ty2 = (hiy - foy) * ivy
+    tz1 = (loz - foz) * ivz
+    tz2 = (hiz - foz) * ivz
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+        jnp.maximum(jnp.minimum(tz1, tz2), T_MIN),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+        jnp.minimum(jnp.maximum(tz1, tz2), K_INFINITY),
+    )
+    vis = jnp.max(jnp.where(tmax > tmin, 1.0, 0.0), axis=1, keepdims=True)
+    demand_ref[...] = jnp.broadcast_to(vis, demand_ref.shape)
+
+    # ---- init the running winner (same layout as _intersect_clustered)
+    rrow = jax.lax.broadcasted_iota(jnp.int32, (JROWS, T), 0)
+    best_ref[0:JROWS, :] = jnp.where(
+        rrow == J_RAD, 1.0, jnp.where(rrow == J_TEXID, -1.0, 0.0)
+    ).astype(jnp.float32)
+    best_ref[JROWS:JROWS + 1, :] = jnp.full((1, T), K_INFINITY, jnp.float32)
+    best_ref[JROWS + 1:JROWS + 3, :] = jnp.zeros((2, T), jnp.float32)
+
+    cp = demand_ref.shape[0]
+    cid = jax.lax.broadcasted_iota(jnp.int32, (cp, 128), 0)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (group * k, 1), 0)
+    half = num_clusters * 3 * k  # proj hi rows, then lo rows
+    jr2 = join_ref.shape[1] // 2
+
+    def cond(rem):
+        return rem > 0
+
+    def body(rem):
+        dem = demand_ref[...] > 0.5
+        # pick up to `group` demanded clusters (scalar argmax each)
+        sel = []
+        for _ in range(group):
+            b = jnp.max(jnp.where(dem, cid, -1))  # scalar, -1 = none left
+            sel.append(b)
+            dem = dem & (cid != b)
+        demand_ref[...] = jnp.where(dem, 1.0, 0.0)
+
+        t_parts, al_parts, be_parts, jb_parts = [], [], [], []
+        for b in sel:
+            ok = b >= 0
+            bs = jnp.maximum(b, 0)
+            p_hi = proj_ref[pl.ds(bs * 3 * k, 3 * k)]
+            p_lo = proj_ref[pl.ds(half + bs * 3 * k, 3 * k)]
+            dot = _dot3 if fast_math else _dot_exact
+            po = dot(p_hi, p_lo, o8)
+            pd = dot(p_hi, p_lo, d8)
+            cb = const_ref[pl.ds(bs * k, k), :]
+            t_blk, alpha, beta_uv = _unified_ts(po, pd, cb, a, od, oo, k)
+            # empty selection slots contribute nothing
+            t_parts.append(jnp.where(ok, t_blk, K_INFINITY))
+            al_parts.append(alpha)
+            be_parts.append(beta_uv)
+            jb_parts.append(join_ref[pl.ds(bs * k, k), :])
+
+        t_all = jnp.concatenate(t_parts, axis=0)        # [G*k, T]
+        alpha = jnp.concatenate(al_parts, axis=0)
+        beta_uv = jnp.concatenate(be_parts, axis=0)
+        jb = jnp.concatenate(jb_parts, axis=0)          # [G*k, 2*JROWS]
+
+        t_best_g = jnp.min(t_all, axis=0, keepdims=True)
+        widx = jnp.min(
+            jnp.where(t_all == t_best_g, iota_k, group * k), axis=0, keepdims=True
+        )
+        onehot = (iota_k == widx).astype(jnp.float32)
+        if fast_math:
+            dg = lambda x: jax.lax.dot_general(
+                x, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            rec_g = dg(jb[:, :jr2]) + dg(jb[:, jr2:])
+        else:
+            rec_g = jax.lax.dot_general(
+                jb[:, :jr2] + jb[:, jr2:], onehot,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        pu_g = jnp.sum(onehot * alpha, axis=0, keepdims=True)
+        pv_g = jnp.sum(onehot * beta_uv, axis=0, keepdims=True)
+
+        t_old = best_ref[JROWS:JROWS + 1, :]
+        better = t_best_g < t_old
+        best_ref[0:JROWS, :] = jnp.where(better, rec_g, best_ref[0:JROWS, :])
+        best_ref[JROWS:JROWS + 1, :] = jnp.where(better, t_best_g, t_old)
+        best_ref[JROWS + 1:JROWS + 2, :] = jnp.where(
+            better, pu_g, best_ref[JROWS + 1:JROWS + 2, :]
+        )
+        best_ref[JROWS + 2:JROWS + 3, :] = jnp.where(
+            better, pv_g, best_ref[JROWS + 2:JROWS + 3, :]
+        )
+        return jnp.sum((demand_ref[:, 0:1] > 0.5).astype(jnp.int32))
+
+    jax.lax.while_loop(
+        cond, body, jnp.sum((demand_ref[:, 0:1] > 0.5).astype(jnp.int32))
+    )
+    return (
+        best_ref[JROWS:JROWS + 1, :],
+        best_ref[0:JROWS, :],
+        best_ref[JROWS + 1:JROWS + 2, :],
+        best_ref[JROWS + 2:JROWS + 3, :],
+    )
+
+
+def _fl(x, n):
+    """Flatten a ps-shaped per-lane row to (1, n)."""
+    return x.reshape(1, n)
+
+
 def _atan_cephes(x):
     """Cephes-style atanf (Mosaic has no inverse-trig primitives).
 
@@ -845,8 +997,14 @@ def _kernel(
     tex_th: int = 0,
     tex_tw: int = 0,
     record_idx: bool = False,
+    culled: bool = False,
+    cull_group: int = 4,
 ):
     refs = list(refs)
+    cull_scr = None
+    if culled:  # scratch order: [persistent..., tex..., cull...] -> pop cull first
+        cull_scr = tuple(refs[-2:])  # demand [Cp,128] f32, best [JROWS+3,T] f32
+        del refs[-2:]
     tex_scr = None
     if big_tex:  # scratch order: [persistent..., tex...] -> pop tex first
         tex_scr = tuple(refs[-4:])  # blk (f32), aux (f32), cached (SMEM), sem
@@ -902,6 +1060,9 @@ def _kernel(
     # so a shard_map'd kernel keeps globally-consistent seeds and camera
     # math — sharded output is bit-identical to single-device
     row0 = params_ref[0, 15].astype(jnp.int32)
+    # sample_start (params slot 16) offsets the per-pixel sample stream so
+    # callers can chunk spp (disjoint global sample ids, same streams)
+    samp0 = params_ref[0, 16].astype(jnp.int32)
     i_int = lin % width  # column (i32)
     j_int = lin // width + row0  # global row
     i_px = i_int.astype(jnp.float32)
@@ -1000,12 +1161,13 @@ def _kernel(
             s = jnp.where(over, jnp.minimum(s + 1.0, spp_f), s)
             can = over & (s < spp_f) & valid
 
-            seed_r = _wang_hash(base_seed + s.astype(jnp.int32).astype(_U))
+            s_g = s + samp0.astype(jnp.float32)  # global sample id
+            seed_r = _wang_hash(base_seed + s_g.astype(jnp.int32).astype(_U))
             seed_r, ux = _rand(seed_r)
             seed_r, uy = _rand(seed_r)
             if strat_k:
-                cell_x = jnp.mod(s, kf)
-                cell_y = jnp.floor(s / kf)
+                cell_x = jnp.mod(s_g, kf)
+                cell_y = jnp.floor(s_g / kf)
                 offx = (cell_x + ux) / kf - 0.5
                 offy = (cell_y + uy) / kf - 0.5
             else:
@@ -1042,7 +1204,14 @@ def _kernel(
             od = ox * dx + oy * dy + oz * dz
             oo = ox * ox + oy * oy + oz * oz
 
-            if clustered:
+            if clustered and culled:
+                t_best, rec, pu, pv = _intersect_culled(
+                    proj_ref, const_ref, join_ref, cbox_ref, cull_scr,
+                    o8, d8, flat(a), flat(od), flat(oo),
+                    ox, oy, oz, dx, dy, dz, num_clusters=num_clusters, k=k,
+                    group=cull_group, tile_px=flat_n, fast_math=fast_math,
+                )
+            elif clustered:
                 t_best, rec, pu, pv = _intersect_clustered(
                     proj_ref, const_ref, join_ref, cbox_ref, o8, d8,
                     flat(a), flat(od), flat(oo),
@@ -1089,13 +1258,14 @@ def _kernel(
             valid_t = valid_px & (s < spp)
         else:
             valid_t = valid
-        seed = _wang_hash(base_seed + s.astype(_U))
+        s_g = s + samp0  # global sample id (sample_start offset)
+        seed = _wang_hash(base_seed + s_g.astype(_U))
         seed, ux = _rand(seed)
         seed, uy = _rand(seed)
         if strat_k:
             # stratified cell (s % k, s // k); scalar cell, vector jitter
             kf = jnp.float32(strat_k)
-            sf = s.astype(jnp.float32)
+            sf = s_g.astype(jnp.float32)
             cell_x = jnp.mod(sf, kf)
             cell_y = jnp.floor(sf / kf)
             offx = (cell_x + ux) / kf - 0.5
@@ -1141,7 +1311,14 @@ def _kernel(
             od = ox * dx + oy * dy + oz * dz
             oo = ox * ox + oy * oy + oz * oz
 
-            if clustered:
+            if clustered and culled:
+                t_best, rec, pu, pv = _intersect_culled(
+                    proj_ref, const_ref, join_ref, cbox_ref, cull_scr,
+                    o8, d8, flat(a), flat(od), flat(oo),
+                    ox, oy, oz, dx, dy, dz, num_clusters=num_clusters, k=k,
+                    group=cull_group, tile_px=flat_n, fast_math=fast_math,
+                )
+            elif clustered:
                 t_best, rec, pu, pv = _intersect_clustered(
                     proj_ref, const_ref, join_ref, cbox_ref, o8, d8,
                     flat(a), flat(od), flat(oo),
@@ -1255,6 +1432,8 @@ def render_frame_pallas(
     sample_block: int = 1,
     fast_math: bool = False,
     persistent: bool = True,
+    culled: bool = True,
+    cull_group: int = 4,
 ):
     """Render one frame with the fused megakernel.
 
@@ -1305,7 +1484,7 @@ def render_frame_pallas(
         tables["cboxes"], tables["proj"], tables["const"], tables["join"],
         scene.textures, cam, width, height, spp, max_depth, reference_quirk,
         interpret, tables["num_clusters"], tables["k"], tile_px, stratify,
-        sample_block, fast_math, persistent,
+        sample_block, fast_math, persistent, culled, cull_group,
     )
 
 
@@ -1319,6 +1498,7 @@ def render_frame_pallas(
 def render_frame_pallas_record(
     scene, cam, width, height, spp, max_depth, reference_quirk=True,
     interpret=False, tile_px=128, stratify=False, fast_math=False,
+    sample_start=0,
 ):
     """Forward render that ALSO records the per-bounce winner primitive
     index: returns (fb [H,W,3], idx [spp, max_depth, H*W] i32, -1=miss).
@@ -1332,6 +1512,7 @@ def render_frame_pallas_record(
         scene, cam, width, height, spp, max_depth, reference_quirk,
         interpret, 0, tile_px, stratify, None, sample_block=1,
         fast_math=fast_math, persistent=False, record_idx=True,
+        sample_start=sample_start,
     )
 
 
@@ -1340,13 +1521,13 @@ def render_frame_pallas_record(
     static_argnames=(
         "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
         "num_clusters", "k", "tile_px", "stratify", "sample_block", "fast_math",
-        "persistent",
+        "persistent", "culled", "cull_group",
     ),
 )
 def _render_clustered_jit(
     cboxes, proj, const, join, textures, cam, width, height, spp, max_depth,
     reference_quirk, interpret, num_clusters, k, tile_px, stratify,
-    sample_block, fast_math, persistent,
+    sample_block, fast_math, persistent, culled=False, cull_group=4,
 ):
     tables = dict(cboxes=cboxes, proj=proj, const=const, join=join,
                   num_clusters=num_clusters, k=k)
@@ -1354,6 +1535,7 @@ def _render_clustered_jit(
         None, cam, width, height, spp, max_depth, reference_quirk,
         interpret, k, tile_px, stratify, tables, textures=textures,
         sample_block=sample_block, fast_math=fast_math, persistent=persistent,
+        culled=culled, cull_group=cull_group,
     )
 
 
@@ -1361,7 +1543,7 @@ def _render_frame_impl(
     scene, cam, width, height, spp, max_depth, reference_quirk,
     interpret, cluster_k, tile_px, stratify, tables, textures=None,
     sample_block=1, fast_math=False, persistent=False, row_offset=0,
-    record_idx=False,
+    record_idx=False, sample_start=0, culled=False, cull_group=4,
 ):
     if sample_block > 1:
         assert tile_px == 128, "sample_block requires 128-px tiles"
@@ -1393,7 +1575,8 @@ def _render_frame_impl(
             cam.pixel_delta_v,
             cam.background,
             jnp.asarray(row_offset, jnp.float32).reshape(1),
-            jnp.zeros((8,), jnp.float32),
+            jnp.asarray(sample_start, jnp.float32).reshape(1),
+            jnp.zeros((7,), jnp.float32),
         ]
     ).reshape(1, 24)
 
@@ -1422,16 +1605,25 @@ def _render_frame_impl(
             clustered=True,
             num_s=0, num_p=0, n_pad=0,
             num_clusters=tables["num_clusters"], k=tables["k"],
+            culled=culled, cull_group=cull_group,
             **common,
         )
+        cboxes = tables["cboxes"]
+        if culled:
+            # padded VMEM boxes for the vectorized slab pass (empty boxes
+            # on padding rows so they never demand a visit)
+            cpad = _round_up(cboxes.shape[0], 8)
+            cboxes = jnp.full((cpad, 8), 0.0, jnp.float32) \
+                .at[:, 0:3].set(K_INFINITY).at[:, 3:6].set(-K_INFINITY) \
+                .at[: cboxes.shape[0]].set(cboxes)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # cboxes
+            pl.BlockSpec(memory_space=pltpu.VMEM if culled else pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # proj
             pl.BlockSpec(memory_space=pltpu.VMEM),  # const
             pl.BlockSpec(memory_space=pltpu.VMEM),  # join
         ]
-        inputs = (params, tables["cboxes"], tables["proj"], tables["const"], tables["join"])
+        inputs = (params, cboxes, tables["proj"], tables["const"], tables["join"])
     else:
         proj, const, join, num_s, num_p, n_pad, _ = pack_scene(scene)
         kernel = functools.partial(
@@ -1439,6 +1631,7 @@ def _render_frame_impl(
             clustered=False,
             num_s=num_s, num_p=num_p, n_pad=n_pad,
             num_clusters=0, k=0,
+            culled=False,
             **common,
         )
         in_specs = [
@@ -1477,6 +1670,12 @@ def _render_frame_impl(
             pltpu.VMEM((7 * ps0, 128), jnp.float32),   # fetch accum + served
             pltpu.SMEM((1, 1), jnp.int32),             # cached block id
             pltpu.SemaphoreType.DMA,
+        ]
+    if culled:
+        cpad = _round_up(tables["num_clusters"], 8)
+        scratch_shapes += [
+            pltpu.VMEM((cpad, 128), jnp.float32),            # cluster demand
+            pltpu.VMEM((JROWS + 3, ps0 * 128), jnp.float32), # running winner
         ]
 
     out_specs = pl.BlockSpec((3, tile_px), lambda g: (0, g), memory_space=pltpu.VMEM)

@@ -98,6 +98,8 @@ def render_pixels_replay(
     max_depth: int,
     chunk: int = renderer.DEFAULT_CHUNK,
     stratify: bool = False,
+    sample_start: int = 0,
+    strat_sqrt_spp: int = 0,
 ):
     """Raw sample sums [N, 3] by replaying the recorded index tape.
 
@@ -115,7 +117,7 @@ def render_pixels_replay(
         idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)), constant_values=-1)
     num_chunks = (n + pad) // chunk
 
-    sqrt_spp = int(round(spp ** 0.5)) if stratify else 0
+    sqrt_spp = (strat_sqrt_spp or int(round(spp ** 0.5))) if stratify else 0
 
     def one_sample(i, j, base, s, idx_s):
         seed = rng.sample_seed(base, s)
@@ -148,7 +150,7 @@ def render_pixels_replay(
             return acc + one_sample(i, j, base, s, idx_s), None
 
         acc0 = jnp.zeros_like(i, dtype=jnp.float32, shape=(chunk, 3))
-        samples = jnp.arange(spp, dtype=jnp.uint32)
+        samples = jnp.arange(spp, dtype=jnp.uint32) + jnp.uint32(sample_start)
         acc, _ = jax.lax.scan(body, acc0, (samples, idx_c))
         return acc
 
@@ -166,7 +168,7 @@ def render_pixels_replay(
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "reference_quirk",
-                     "chunk", "stratify"),
+                     "chunk", "stratify", "strat_sqrt_spp"),
 )
 def render_frame_replay(
     scene: Scene,
@@ -179,12 +181,15 @@ def render_frame_replay(
     reference_quirk: bool = True,
     chunk: int = renderer.DEFAULT_CHUNK,
     stratify: bool = False,
+    sample_start: int = 0,
+    strat_sqrt_spp: int = 0,
 ):
     """Replayed frame render; must reproduce the recording forward's
     radiance (same streams, same branches — validated in tests)."""
     i_flat, j_flat, base_seed = renderer.pixel_grid(width, height, reference_quirk)
     fb = render_pixels_replay(
         scene, cam, i_flat, j_flat, base_seed, idx, spp, max_depth,
-        chunk=chunk, stratify=stratify,
+        chunk=chunk, stratify=stratify, sample_start=sample_start,
+        strat_sqrt_spp=strat_sqrt_spp,
     )
     return fb.reshape(height, width, 3)
