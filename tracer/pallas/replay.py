@@ -41,49 +41,118 @@ from tracer.render import renderer
 from tracer.scene.types import K_INFINITY, Scene
 
 
+def _recorded_join_table(scene: Scene):
+    """[N, 35] per-primitive parameter table for the one-hot winner join
+    (spheres then planes — the megakernel's packed order).
+
+    One-hot matmul joins are the TPU-correct replacement for per-ray
+    `array[idx]` gathers here: an [R]-indexed gather lowers to a slow
+    serial gather AND its VJP is a scatter-add — both glacial on TPU and
+    the reason the first replay backward measured SLOWER than remat. A
+    matmul's transpose is another matmul (MXU both ways).
+
+    Columns: center3, radius, is_sph, normal3, d, w3, base3, u3, v3,
+    ptype, mat13 (mtype, fuzz, ir, abs3, albedo3, emit3, tex_id).
+    """
+    num_s, num_p = scene.num_spheres, scene.num_planes
+    cols = []
+    if num_s:
+        sph = scene.spheres
+        z = jnp.zeros((num_s, 1), jnp.float32)
+        z3 = jnp.zeros((num_s, 3), jnp.float32)
+        cols.append(jnp.concatenate(
+            [sph.center, sph.radius[:, None], jnp.ones((num_s, 1), jnp.float32),
+             z3, z, jnp.ones((num_s, 3), jnp.float32),  # w=1: div-safe
+             z3, jnp.ones((num_s, 3), jnp.float32), jnp.ones((num_s, 3), jnp.float32),
+             z],
+            axis=1,
+        ))
+    if num_p:
+        pla = scene.planes
+        z = jnp.zeros((num_p, 1), jnp.float32)
+        z3 = jnp.zeros((num_p, 3), jnp.float32)
+        cols.append(jnp.concatenate(
+            [z3, jnp.ones((num_p, 1), jnp.float32), z,  # radius=1 div-safe
+             pla.normal, pla.d[:, None], pla.w,
+             pla.base, pla.u, pla.v,
+             pla.ptype[:, None].astype(jnp.float32)],
+            axis=1,
+        ))
+    geo = jnp.concatenate(cols, axis=0)
+    prim_mat_idx = jnp.concatenate(
+        ([scene.spheres.material_idx] if num_s else [])
+        + ([scene.planes.material_idx] if num_p else [])
+    )
+    return jnp.concatenate(
+        [geo, hit_fast._material_table(scene, prim_mat_idx)], axis=1
+    )  # [N, 22 + 13]
+
+
 def _joined_hit_recorded(scene: Scene, origin, direction, rec_idx):
     """JoinedHit for the RECORDED winner (packed index: spheres then
-    planes, -1 = miss) — differentiable, no search."""
-    r = origin.shape[0]
+    planes, -1 = miss) — differentiable, no search, no gathers."""
     hit = rec_idx >= 0
     num_s, num_p = scene.num_spheres, scene.num_planes
-    is_sphere = hit & (rec_idx < num_s)
-    safe_idx = jnp.maximum(rec_idx, 0)
+    n = num_s + num_p
 
-    if num_s > 0:
-        s_idx = jnp.clip(jnp.where(is_sphere, safe_idx, 0), 0, num_s - 1)
-        t_s = sphere_mod.sphere_t_gathered(
-            origin, direction,
-            scene.spheres.center[s_idx], scene.spheres.radius[s_idx],
-            hit_mod.T_MIN, hit_mod.T_MAX,
-        )
-    else:
-        s_idx = jnp.zeros((r,), jnp.int32)
-        t_s = jnp.full((r,), K_INFINITY)
-    if num_p > 0:
-        pla = scene.planes
-        p_idx = jnp.clip(jnp.where(is_sphere, 0, safe_idx - num_s), 0, num_p - 1)
-        t_p = plane_mod.plane_t_gathered(
-            origin, direction, pla.ptype[p_idx], pla.base[p_idx], pla.u[p_idx],
-            pla.v[p_idx], pla.normal[p_idx], pla.d[p_idx], pla.w[p_idx],
-            hit_mod.T_MIN, hit_mod.T_MAX,
-        )
-    else:
-        p_idx = jnp.zeros((r,), jnp.int32)
-        t_p = jnp.full((r,), K_INFINITY)
+    hp = jax.lax.Precision.HIGHEST
+    onehot = (rec_idx[:, None] == jnp.arange(n)[None, :]).astype(jnp.float32)
+    rec = jnp.matmul(onehot, _recorded_join_table(scene), precision=hp)  # [R, 35]
 
-    t_best = jnp.where(hit, jnp.where(is_sphere, t_s, t_p), K_INFINITY)
-    rec = hit_mod._winner_record(
-        scene, origin, direction, t_best, hit, is_sphere, s_idx, p_idx
+    center, radius = rec[:, 0:3], rec[:, 3]
+    is_sphere = rec[:, 4] > 0.5
+    p_normal, p_d, p_w = rec[:, 5:8], rec[:, 8], rec[:, 9:12]
+    p_base, p_u, p_v = rec[:, 12:15], rec[:, 15:18], rec[:, 18:21]
+    ptype = jnp.round(rec[:, 21]).astype(jnp.int32)
+    mtype = jnp.round(rec[:, 22]).astype(jnp.int32)
+    fuzz, ir = rec[:, 23], rec[:, 24]
+    absorption, albedo, emit = rec[:, 25:28], rec[:, 28:31], rec[:, 31:34]
+    tex_id = jnp.round(rec[:, 34]).astype(jnp.int32)
+    # miss lanes join all-zero rows; make the div-safe fields safe again
+    # (ir especially: 1/ir in the dielectric branch emits 0*inf = NaN
+    # into d(ir) through reverse mode even though the forward is masked)
+    radius = jnp.where(hit, radius, 1.0)
+    ir = jnp.where(hit, ir, 1.0)
+    p_w = jnp.where(hit[:, None], p_w, 1.0)
+    p_u = jnp.where(hit[:, None], p_u, 1.0)
+    p_v = jnp.where(hit[:, None], p_v, 1.0)
+
+    # differentiable t recompute for the winner only
+    t_s = sphere_mod.sphere_t_gathered(
+        origin, direction, center, radius, hit_mod.T_MIN, hit_mod.T_MAX
     )
-    mats = scene.materials
-    midx = rec.material_idx
+    t_p = plane_mod.plane_t_gathered(
+        origin, direction, ptype, p_base, p_u, p_v, p_normal, p_d, p_w,
+        hit_mod.T_MIN, hit_mod.T_MAX,
+    )
+    t_best = jnp.where(hit, jnp.where(is_sphere, t_s, t_p), K_INFINITY)
+
+    # record math on the joined parameters (miss lanes sanitized)
+    t_calc = jnp.where(hit, t_best, 1.0)
+    s_point, s_normal, s_front, s_u, s_v = sphere_mod.sphere_record(
+        origin, direction, t_calc, center, radius
+    )
+    pp_point, pp_normal, pp_front, pp_u, pp_v = plane_mod.plane_record(
+        origin, direction, t_calc, p_base, p_u, p_v, p_normal, p_d, p_w
+    )
+    sel = is_sphere[:, None]
+    # miss lanes join a ZERO plane normal; with it, refract's
+    # sqrt(|1 - |perp|^2|) lands exactly on 0 and reverse mode emits
+    # 0-cotangent * inf = NaN into d(ir). Give misses a real unit normal
+    # (their forward values are fully masked anyway).
+    normal = jnp.where(sel, s_normal, pp_normal)
+    normal = jnp.where(hit[:, None], normal,
+                       jnp.array([0.0, 0.0, 1.0], jnp.float32))
     return hit_fast.JoinedHit(
-        hit=rec.hit, t=rec.t, point=rec.point, normal=rec.normal,
-        front_face=rec.front_face, u=rec.u, v=rec.v,
-        mtype=mats.mtype[midx], fuzz=mats.fuzz[midx], ir=mats.ir[midx],
-        absorption=mats.absorption[midx], albedo=mats.albedo[midx],
-        emit=mats.emit[midx], tex_id=mats.tex_id[midx],
+        hit=hit,
+        t=t_best,
+        point=jnp.where(sel, s_point, pp_point),
+        normal=normal,
+        front_face=jnp.where(is_sphere, s_front, pp_front),
+        u=jnp.where(is_sphere, s_u, pp_u),
+        v=jnp.where(is_sphere, s_v, pp_v),
+        mtype=mtype, fuzz=fuzz, ir=ir,
+        absorption=absorption, albedo=albedo, emit=emit, tex_id=tex_id,
     )
 
 
