@@ -169,6 +169,7 @@ def render_pixels_replay(
     stratify: bool = False,
     sample_start: int = 0,
     strat_sqrt_spp: int = 0,
+    remat_samples: bool = True,
 ):
     """Raw sample sums [N, 3] by replaying the recorded index tape.
 
@@ -209,7 +210,11 @@ def render_pixels_replay(
         carry, _ = jax.lax.scan(body, carry, idx_s)  # idx_s: [D, chunk]
         return carry[3]
 
-    one_sample = jax.checkpoint(one_sample)
+    if remat_samples:
+        # recompute each sample's replay in the backward instead of
+        # saving every bounce residual (memory-bound shapes); turn off
+        # when the residuals fit — saves one forward recompute
+        one_sample = jax.checkpoint(one_sample)
 
     def per_chunk(args):
         i, j, base, idx_c = args  # idx_c: [spp, D, chunk]
@@ -237,7 +242,7 @@ def render_pixels_replay(
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "reference_quirk",
-                     "chunk", "stratify", "strat_sqrt_spp"),
+                     "chunk", "stratify", "strat_sqrt_spp", "remat_samples"),
 )
 def render_frame_replay(
     scene: Scene,
@@ -252,6 +257,7 @@ def render_frame_replay(
     stratify: bool = False,
     sample_start: int = 0,
     strat_sqrt_spp: int = 0,
+    remat_samples: bool = True,
 ):
     """Replayed frame render; must reproduce the recording forward's
     radiance (same streams, same branches — validated in tests)."""
@@ -259,6 +265,6 @@ def render_frame_replay(
     fb = render_pixels_replay(
         scene, cam, i_flat, j_flat, base_seed, idx, spp, max_depth,
         chunk=chunk, stratify=stratify, sample_start=sample_start,
-        strat_sqrt_spp=strat_sqrt_spp,
+        strat_sqrt_spp=strat_sqrt_spp, remat_samples=remat_samples,
     )
     return fb.reshape(height, width, 3)
