@@ -211,6 +211,11 @@ def main() -> int:
         return _measure()
 
     env = dict(os.environ, TRACER_BENCH_CHILD="1")
+    # persistent compile cache: the tunneled TPU compiler is slow (the
+    # replay-VJP graph alone can take minutes); repeat benches are free
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compilation_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

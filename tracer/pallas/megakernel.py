@@ -717,13 +717,18 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
         b = jnp.max(want)  # scalar block id
         by = b // nbx
         bx = b - by * nbx
+        # 2-slot direct-mapped cache, checkerboard-indexed: x- and
+        # y-neighbor blocks (the bilinear straddle pairs) land in
+        # DIFFERENT slots, so straddles stop thrashing the cache
+        slot = (bx + by) % 2
+        base = slot * 384
 
-        @pl.when(b != cached_ref[0, 0])
+        @pl.when(b != cached_ref[0, slot])
         def _fetch():
             copies = [
                 pltpu.make_async_copy(
                     src.at[pl.ds(by * 128, 128), pl.ds(bx * 128, 128)],
-                    blk_ref.at[pl.ds(ci * 128, 128), :],
+                    blk_ref.at[pl.ds(base + ci * 128, 128), :],
                     sem,
                 )
                 for ci, src in enumerate((tr_hbm, tg_hbm, tb_hbm))
@@ -732,14 +737,14 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
                 cp.start()
             for cp in copies:
                 cp.wait()
-            cached_ref[0, 0] = b
+            cached_ref[0, slot] = b
 
         # One matmul pair serves ALL 4 corners x 3 channels: channels are
         # stacked on the block's sublanes (384 rows) and the 4 corner
         # one-hots concatenate on the lane dim (128, 4T) — 2 bf16 passes
         # per visit instead of 24 tiny ones. The hi/lo split keeps the
         # 0/1 selection EXACT in f32.
-        bfull = blk_ref[...]  # (384, 128): r block, g block, b block
+        bfull = blk_ref[pl.ds(base, 384), :]  # (384, 128): r, g, b blocks
         bhi = bfull.astype(jnp.bfloat16).astype(jnp.float32)
         blo = bfull - bhi
 
@@ -1037,7 +1042,8 @@ def _kernel(
         if big_tex:
             nbx = _round_up(tex_tw, 128) // 128
             big = t3 + tex_scr + (tex_th, tex_tw, nbx)
-            tex_scr[2][0, 0] = -1  # invalidate the block cache
+            tex_scr[2][0, 0] = -1  # invalidate both cache slots
+            tex_scr[2][0, 1] = -1
         else:
             tex_refs = t3
     if clustered:
@@ -1680,9 +1686,9 @@ def _render_frame_impl(
         ]
     if big_tex:
         scratch_shapes += [
-            pltpu.VMEM((3 * 128, 128), jnp.float32),   # cached texture block
+            pltpu.VMEM((2 * 3 * 128, 128), jnp.float32),  # 2-slot block cache
             pltpu.VMEM((7 * ps0, 128), jnp.float32),   # fetch accum + served
-            pltpu.SMEM((1, 1), jnp.int32),             # cached block id
+            pltpu.SMEM((1, 2), jnp.int32),             # cached block ids
             pltpu.SemaphoreType.DMA,
         ]
     if culled:
