@@ -80,3 +80,18 @@ class TestFit:
             np.asarray(full.materials.albedo),
             rtol=1e-6, atol=1e-7,
         )
+
+
+class TestFitPallasEngine:
+    def test_pallas_replay_fit_converges(self):
+        """fit(engine='pallas') now runs the record+replay VJP: the loss
+        must descend just like the XLA engine's."""
+        true_scene = _scene(albedo0=(0.2, 0.8, 0.4))
+        target = _target(true_scene)
+        init = _scene(albedo0=(0.5, 0.5, 0.5))
+        _, losses = fit_mod.fit(
+            init, _cam(), target, W, H, steps=8,
+            param_paths=("materials.albedo",), learning_rate=3e-2,
+            log_every=0, spp=SPP, max_depth=DEPTH, engine="pallas",
+        )
+        assert losses[-1] < losses[0] * 0.5, losses

@@ -311,3 +311,35 @@ def test_culled_matches_legacy_clustered():
             )
         )
         np.testing.assert_array_equal(got, legacy)
+
+
+def test_record_with_big_texture():
+    """Recording forward + HBM demand-paged texture compose (both extra
+    output and texture scratch are live in one kernel)."""
+    import sys as _sys
+
+    import jax.numpy as jnp
+
+    _sys.path.insert(0, os.path.dirname(__file__))
+    from test_parity import _full_scene
+
+    scene, _ = _full_scene(with_texture=True)
+    g = np.random.default_rng(7)
+    tex = g.uniform(0.1, 1.0, size=(1, 300, 520, 3)).astype(np.float32)
+    scene = scene._replace(textures=jnp.asarray(tex))
+    w, h = 32, 16
+    cam = _cam(w, h)
+    plain = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, 2, 4, interpret=True, persistent=False, tile_px=128
+        )
+    )
+    fb, idx = megakernel.render_frame_pallas_record(
+        scene, cam, w, h, 2, 4, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(fb), plain)
+
+    from tracer.pallas import replay
+
+    rep = np.asarray(replay.render_frame_replay(scene, cam, idx, w, h, 2, 4))
+    np.testing.assert_allclose(rep, np.asarray(fb), atol=1e-5)
