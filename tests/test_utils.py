@@ -76,3 +76,78 @@ class TestDriverPallasEngine:
         fb_x = driver.render_animation(scene, params, engine="xla", out=out)
         np.testing.assert_allclose(fb_p, fb_x, atol=1e-4)
         assert "\t" in out.getvalue()
+
+
+class TestResilience:
+    def test_retries_transient_then_succeeds(self):
+        from tracer.utils import resilience
+
+        calls = []
+
+        def flaky():
+            calls.append(1)
+            if len(calls) < 3:
+                raise RuntimeError("UNAVAILABLE: TPU worker process crashed")
+            return 42
+
+        out = resilience.retry_transient(flaky, retries=3, backoff_s=0.0)
+        assert out == 42 and len(calls) == 3
+
+    def test_non_transient_raises_immediately(self):
+        import pytest
+
+        from tracer.utils import resilience
+
+        calls = []
+
+        def broken():
+            calls.append(1)
+            raise ValueError("shape mismatch [3] vs [4]")
+
+        with pytest.raises(ValueError):
+            resilience.retry_transient(broken, retries=5, backoff_s=0.0)
+        assert len(calls) == 1
+
+    def test_exhausted_retries_propagate(self):
+        import pytest
+
+        from tracer.utils import resilience
+
+        def always_down():
+            raise RuntimeError("DEADLINE_EXCEEDED: backend unreachable")
+
+        with pytest.raises(RuntimeError, match="DEADLINE_EXCEEDED"):
+            resilience.retry_transient(always_down, retries=2, backoff_s=0.0)
+
+    def test_driver_retries_transient_frame(self, tmp_path, monkeypatch):
+        import io as _io
+
+        import numpy as np
+
+        from tracer.render import driver, renderer
+        from tracer.scene import builders, config
+
+        params = config.read_scene_params(_io.StringIO(config.smoke_config_text()))
+        params.width, params.height = 16, 8
+        params.num_frames = 1
+        params.render.sqrt_rays_per_pixel = 1
+        params.render.max_depth = 2
+        params.output_path = str(tmp_path / "r_%d.bin")
+        scene = builders.create_scene(params, texture_loader=lambda _: None)
+
+        real = renderer.render_frame
+        state = {"n": 0}
+
+        def flaky(*a, **kw):
+            state["n"] += 1
+            if state["n"] == 1:
+                raise RuntimeError("UNAVAILABLE: worker process crashed")
+            return real(*a, **kw)
+
+        monkeypatch.setattr(renderer, "render_frame", flaky)
+        err = _io.StringIO()
+        monkeypatch.setattr("sys.stderr", err)
+        fb = driver.render_animation(scene, params, out=_io.StringIO(), retries=2)
+        assert state["n"] == 2
+        assert "transient backend failure" in err.getvalue()
+        assert np.isfinite(np.asarray(fb)).all()

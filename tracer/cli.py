@@ -38,6 +38,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fast-math", action="store_true",
                    help="pallas engine: bf16x3 matmuls (~28%% faster; statistically "
                         "identical images, per-sample parity waived)")
+    p.add_argument("--retries", type=int, default=0, metavar="N",
+                   help="retry each frame up to N times on transient backend "
+                        "failures (preempted worker, dropped connection)")
     p.add_argument("--no-quirk", action="store_true",
                    help="use corrected j*width+i pixel seeding instead of the reference quirk")
     p.add_argument("--stratify", action="store_true",
@@ -120,6 +123,7 @@ def main(argv=None) -> int:
         rng_mode="reference" if args.ref_rng else "fixed",
         stratify=args.stratify,
         fast_math=args.fast_math,
+        retries=args.retries,
     )
     return 0
 

@@ -39,6 +39,7 @@ def render_animation(
     rng_mode: str = "fixed",
     stratify: bool = False,
     fast_math: bool = False,
+    retries: int = 0,
 ):
     """Render `params.num_frames` frames; returns the last framebuffer.
 
@@ -100,53 +101,74 @@ def render_animation(
             print(f"pallas engine does not support rng_mode={rng_mode!r}; "
                   "using XLA", file=sys.stderr)
             engine = "xla"
-        if engine == "pallas":
-            from tracer.pallas import megakernel
-            import jax
 
-            try:
-                if mesh is not None:
-                    from tracer.dist import sharding
+        def render_frame_once():
+            nonlocal engine  # a PallasUnsupported fallback sticks across frames
+            fb_dev = None
+            if engine == "pallas":
+                from tracer.pallas import megakernel
+                import jax
 
-                    fb_dev = sharding.render_frame_pallas_sharded(
-                        scene, cam, width, height, spp,
-                        params.render.max_depth, mesh,
-                        reference_quirk=reference_quirk,
-                        interpret=jax.default_backend() == "cpu",
-                        stratify=stratify, fast_math=fast_math,
-                    )
-                else:
-                    fb_dev = megakernel.render_frame_pallas(
-                        scene, cam, width, height, spp=spp,
-                        max_depth=params.render.max_depth,
-                        reference_quirk=reference_quirk,
-                        interpret=jax.default_backend() == "cpu",
-                        stratify=stratify, fast_math=fast_math,
-                    )
-            except megakernel.PallasUnsupported as e:
-                print(f"pallas engine unavailable ({e}); using XLA", file=sys.stderr)
-                engine = "xla"
-        if engine == "pallas":
-            pass  # fb_dev rendered above (sharded when a mesh was given)
-        elif mesh is not None:
-            from tracer.dist import sharding
+                try:
+                    if mesh is not None:
+                        from tracer.dist import sharding
 
-            fb_dev = sharding.render_frame_sharded(
-                scene, cam, width, height, spp,
-                params.render.max_depth, mesh,
-                intersector=intersector, reference_quirk=reference_quirk,
-                chunk=chunk, rng_mode=rng_mode, stratify=stratify,
+                        fb_dev = sharding.render_frame_pallas_sharded(
+                            scene, cam, width, height, spp,
+                            params.render.max_depth, mesh,
+                            reference_quirk=reference_quirk,
+                            interpret=jax.default_backend() == "cpu",
+                            stratify=stratify, fast_math=fast_math,
+                        )
+                    else:
+                        fb_dev = megakernel.render_frame_pallas(
+                            scene, cam, width, height, spp=spp,
+                            max_depth=params.render.max_depth,
+                            reference_quirk=reference_quirk,
+                            interpret=jax.default_backend() == "cpu",
+                            stratify=stratify, fast_math=fast_math,
+                        )
+                except megakernel.PallasUnsupported as e:
+                    print(f"pallas engine unavailable ({e}); using XLA",
+                          file=sys.stderr)
+                    engine = "xla"
+            if fb_dev is not None:
+                pass  # pallas rendered above (sharded when a mesh was given)
+            elif mesh is not None:
+                from tracer.dist import sharding
+
+                fb_dev = sharding.render_frame_sharded(
+                    scene, cam, width, height, spp,
+                    params.render.max_depth, mesh,
+                    intersector=intersector, reference_quirk=reference_quirk,
+                    chunk=chunk, rng_mode=rng_mode, stratify=stratify,
+                )
+            else:
+                fb_dev = renderer.render_frame(
+                    scene, cam, width, height, spp=spp,
+                    max_depth=params.render.max_depth, intersector=intersector,
+                    reference_quirk=reference_quirk, chunk=chunk, early_exit=early_exit,
+                    rng_mode=rng_mode, stratify=stratify,
+                )
+            # A tiny host fetch is the reliable sync (block_until_ready
+            # does not block on some tunneled backends); cudaEvent analog.
+            float(fb_dev[0, 0, 0])
+            return fb_dev
+
+        if retries > 0:
+            # ride through transient backend failures (preempted worker,
+            # dropped tunnel) — the reference has no failure story at all
+            from tracer.utils import resilience
+
+            fb_dev = resilience.retry_transient(
+                render_frame_once, retries=retries,
+                on_retry=lambda k, e: print(
+                    f"tracer: frame {n} transient backend failure "
+                    f"(retry {k}): {str(e).splitlines()[0][:120]}",
+                    file=sys.stderr),
             )
         else:
-            fb_dev = renderer.render_frame(
-                scene, cam, width, height, spp=spp,
-                max_depth=params.render.max_depth, intersector=intersector,
-                reference_quirk=reference_quirk, chunk=chunk, early_exit=early_exit,
-                rng_mode=rng_mode, stratify=stratify,
-            )
-        # A tiny host fetch is the reliable sync (block_until_ready does
-        # not block on some tunneled backends); cudaEvent analog.
-        float(fb_dev[0, 0, 0])
+            fb_dev = render_frame_once()
         ms = (time.perf_counter() - t0) * 1e3
         print(f"{n}\t{ms}\t{rays}", file=out)
 
