@@ -10,6 +10,7 @@ not meaningful; the harness exists so pod runs are one command).
 Usage:
   python benchmarks/scaling.py [--width 800] [--height 600] [--spp 8]
                                [--depth 20] [--devices 1,2,4,8]
+                               [--engine xla|pallas]
 
 Prints one TSV row per mesh size: n_devices, seconds, Mrays/s,
 efficiency (vs 1 device).
@@ -33,6 +34,9 @@ def main() -> int:
     ap.add_argument("--depth", type=int, default=20)
     ap.add_argument("--devices", type=str, default="")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend (virtual mesh)")
+    ap.add_argument("--engine", choices=("xla", "pallas"), default="xla",
+                    help="sharded engine: chunked XLA renderer or the fused "
+                         "Pallas megakernel (row-band shard_map)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -66,9 +70,16 @@ def main() -> int:
         mesh = sharding.make_mesh(devices[:n])
 
         def run():
-            fb = sharding.render_frame_sharded(
-                scene, cam, args.width, args.height, args.spp, args.depth, mesh
-            )
+            if args.engine == "pallas":
+                fb = sharding.render_frame_pallas_sharded(
+                    scene, cam, args.width, args.height, args.spp, args.depth,
+                    mesh, interpret=jax.default_backend() == "cpu",
+                    fast_math=True,
+                )
+            else:
+                fb = sharding.render_frame_sharded(
+                    scene, cam, args.width, args.height, args.spp, args.depth, mesh
+                )
             float(fb[0, 0, 0])  # reliable sync
 
         run()  # compile
