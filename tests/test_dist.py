@@ -280,3 +280,34 @@ class TestPallasSharded:
         fb_s = driver.render_animation(scene, params, engine="pallas",
                                        out=_io.StringIO())
         np.testing.assert_array_equal(np.asarray(fb_m), np.asarray(fb_s))
+
+    def test_sharded_replay_grads_match_xla(self, mesh):
+        """Distributed fast-gradient step (record + replay VJP under
+        shard_map, psum'd scene cotangents) == the sharded XLA grads."""
+        import io as _io
+
+        import jax.numpy as jnp
+
+        from tracer.scene import builders, config
+        from tracer.render import renderer as R
+
+        params = config.read_scene_params(_io.StringIO(config.smoke_config_text()))
+        scene = builders.create_scene(params, with_bvh=False,
+                                      texture_loader=lambda _: None)
+        w, h, spp, depth = 32, 20, 2, 3  # 20 rows / 8 devices: padded bands
+        cam = C.build_camera_data([-15.0, 0.0, 4.5], [0.0, 4.5, 0.0], w, h, 90.0)
+        target = np.asarray(
+            R.render_frame(scene, cam, w, h, spp=spp, max_depth=depth, chunk=w * h)
+        ) / spp * 0.9
+        l_ref, g_ref = sharding.scene_grads_sharded(
+            scene, cam, target, w, h, spp, depth, mesh
+        )
+        l_new, g_new = sharding.scene_grads_replay_sharded(
+            scene, cam, jnp.asarray(target), w, h, spp, depth, mesh, interpret=True
+        )
+        np.testing.assert_allclose(float(l_new), float(l_ref), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_new),
+                        jax.tree_util.tree_leaves(g_ref)):
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                tol = 1e-5 * max(1.0, float(np.abs(np.asarray(b)).max()))
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=tol)

@@ -232,6 +232,100 @@ def render_frame_pallas_sharded(
     return fb[:height]
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "mesh",
+                     "reference_quirk", "interpret"),
+)
+def scene_grads_replay_sharded(
+    scene: Scene,
+    cam: camera_mod.CameraData,
+    target,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    mesh: Mesh,
+    reference_quirk: bool = True,
+    interpret: bool = False,
+):
+    """L2-loss + full scene gradients via the FAST backward, sharded.
+
+    Two sharded passes (round 2): every device (1) renders its row band
+    with the RECORDING megakernel — fb plus the winner-index tape — and
+    (2) differentiates the tape REPLAY of its band; the shard_map
+    transpose psums the per-device scene cotangents exactly like
+    scene_grads_sharded, but the backward never runs the O(prims)
+    intersection search. Returns (loss, grads).
+    """
+    import jax.numpy as jnp
+
+    from tracer.core import rng as rng_mod
+    from tracer.pallas import megakernel, replay
+
+    n_dev = mesh.devices.size
+    rows = -(-height // n_dev)
+    hpad = rows * n_dev
+    tpad = jnp.zeros((hpad, width, 3), jnp.float32).at[:height].set(
+        jnp.asarray(target, jnp.float32)
+    )
+
+    def to_varying(x):
+        if not hasattr(x, "dtype"):
+            return x
+        try:
+            return jax.lax.pcast(x, (AXIS,), to="varying")
+        except AttributeError:
+            return jax.lax.pvary(x, AXIS)
+
+    def band_pixels(row0):
+        lin = jnp.arange(rows * width, dtype=jnp.uint32)
+        i = lin % jnp.uint32(width)
+        j = lin // jnp.uint32(width) + row0.astype(jnp.uint32)
+        base = rng_mod.pixel_seed(i, j, width, reference_quirk=reference_quirk)
+        return i, j, base
+
+    def rec_body(scene, cam):
+        scene, cam = jax.tree.map(to_varying, (scene, cam))
+        row0 = jax.lax.axis_index(AXIS) * rows
+        return megakernel._render_frame_impl(
+            scene, cam, width, rows, spp, max_depth, reference_quirk,
+            interpret, 0, 128, False, None, persistent=False,
+            record_idx=True, row_offset=row0,
+        )
+
+    fb, idx = jax.shard_map(
+        rec_body, mesh=mesh, in_specs=(P(), P()),
+        out_specs=(P(AXIS), P(None, None, AXIS)),
+        check_vma=False,
+    )(scene, cam)
+
+    def loss_fn(scene):
+        def band_loss(scene, cam, idx, tgt):
+            # idx/tgt arrive sharded (already device-varying); only the
+            # replicated scene/camera need the varying cast
+            scene, cam = jax.tree.map(to_varying, (scene, cam))
+            row0 = jax.lax.axis_index(AXIS) * rows
+            i, j, base = band_pixels(row0)
+            fbr = replay.render_pixels_replay(
+                scene, cam, i, j, base, idx, spp, max_depth,
+                chunk=min(renderer.DEFAULT_CHUNK, rows * width),
+            ).reshape(rows, width, 3)
+            valid = ((row0 + jnp.arange(rows)) < height).astype(jnp.float32)
+            d = (fbr / spp - tgt) * valid[:, None, None]
+            return jax.lax.psum(jnp.sum(d * d), AXIS)
+
+        l = jax.shard_map(
+            band_loss, mesh=mesh,
+            in_specs=(P(), P(), P(None, None, AXIS), P(AXIS)),
+            out_specs=P(),
+        )(scene, cam, idx, tpad)
+        return l / (height * width * 3)
+
+    loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(scene)
+    return loss, grads
+
+
 def scene_grads_sharded(
     scene: Scene,
     cam: camera_mod.CameraData,

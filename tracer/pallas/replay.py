@@ -223,7 +223,10 @@ def render_pixels_replay(
             s, idx_s = xs
             return acc + one_sample(i, j, base, s, idx_s), None
 
-        acc0 = jnp.zeros_like(i, dtype=jnp.float32, shape=(chunk, 3))
+        # zeros_like(base): under shard_map the per-pixel seeds are always
+        # device-varying (i alone may not be — row-band sharding varies
+        # only j), and the scan carry must match the body's vma type
+        acc0 = jnp.zeros_like(base, dtype=jnp.float32, shape=(chunk, 3))
         samples = jnp.arange(spp, dtype=jnp.uint32) + jnp.uint32(sample_start)
         acc, _ = jax.lax.scan(body, acc0, (samples, idx_c))
         return acc
