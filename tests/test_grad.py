@@ -165,6 +165,29 @@ class TestReplayVJP:
         # same streams and branches; only ulp-level f32 phrasing differs
         np.testing.assert_allclose(np.asarray(fb_rep), np.asarray(fb), atol=1e-6)
 
+    def test_persistent_record_matches_sample_loop_tape(self):
+        """The persistent kernel's scatter-recorded tape must agree with
+        the sample-loop tape on every live bounce (dead-lane slots are -1
+        in persistent mode vs garbage in sample-loop mode; the replay
+        masks both), and replay radiance must be identical."""
+        from tracer.pallas import megakernel, replay
+
+        scene = _scene()
+        fb_s, idx_s = megakernel.render_frame_pallas_record(
+            scene, _cam(), W, H, SPP, DEPTH, interpret=True, persistent=False
+        )
+        fb_p, idx_p = megakernel.render_frame_pallas_record(
+            scene, _cam(), W, H, SPP, DEPTH, interpret=True, persistent=True
+        )
+        np.testing.assert_array_equal(np.asarray(fb_s), np.asarray(fb_p))
+        a, b = np.asarray(idx_s), np.asarray(idx_p)
+        live = b != -1
+        assert live.any()
+        np.testing.assert_array_equal(a[live], b[live])
+        r_s = replay.render_frame_replay(scene, _cam(), idx_s, W, H, SPP, DEPTH)
+        r_p = replay.render_frame_replay(scene, _cam(), idx_p, W, H, SPP, DEPTH)
+        np.testing.assert_array_equal(np.asarray(r_s), np.asarray(r_p))
+
     def test_replay_grads_match_remat(self):
         from tracer.pallas import diff as pdiff
 

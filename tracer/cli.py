@@ -136,12 +136,18 @@ def _run_fit(args, scene, params) -> int:
     from tracer.opt import fit as fit_mod
     from tracer.render import camera as camera_mod
 
-    if args.fit.endswith(".bin"):
-        q = image_io.read_binary(args.fit).astype(np.float32)
-    else:
+    # Dispatch on CONTENT, not extension: the default (reference-parity)
+    # saver writes raw int32-header binary frames to .png-named paths
+    # (camera.cu:298-300), so extension sniffing would hand PIL a binary
+    # blob. PNG/PPM magics are unambiguous; anything else is our binary.
+    with open(args.fit, "rb") as f:
+        magic = f.read(2)
+    if magic in (b"\x89P", b"P3", b"P6"):
         from PIL import Image
 
         q = np.asarray(Image.open(args.fit).convert("RGB"), np.float32)
+    else:
+        q = image_io.read_binary(args.fit).astype(np.float32)
     sqrt_spp = params.render.sqrt_rays_per_pixel
     spp = sqrt_spp * sqrt_spp
     # invert the saver quantize (camera.cu:64-73): byte = int(256*sqrt(sum/div)),

@@ -73,10 +73,17 @@ def render_loss_fn(
     the XLA renderer as the rematerialized backward (tracer.pallas.diff)
     — faster iterations on TPU, identical gradients.
     """
-    target = jnp.asarray(target, jnp.float32)
+    # Host round-trip the target before it's captured in the closure.
+    # On the tunneled TPU backend, a pallas-produced device array embedded
+    # as a jit closure constant in a program that itself contains a pallas
+    # call is read with a permuted layout (silent image scramble → bogus
+    # loss). A numpy round-trip normalizes the layout; fit() additionally
+    # passes the target as a jit argument, which sidesteps constant
+    # embedding entirely.
+    target = jnp.asarray(np.asarray(target), jnp.float32)
     chunk = chunk or min(renderer.DEFAULT_CHUNK, width * height)
 
-    def loss(params):
+    def loss(params, target=target):
         s = apply_params(scene, params)
         if engine == "pallas":
             from tracer.pallas import diff as pallas_diff
@@ -137,6 +144,7 @@ def fit(
     """
     loss_fn = render_loss_fn(scene, cam, target, width, height, spp, max_depth,
                              engine=engine)
+    target_arg = jnp.asarray(np.asarray(target), jnp.float32)
 
     opt = optax.adam(learning_rate)
     params = extract_params(scene, param_paths)
@@ -148,14 +156,16 @@ def fit(
         log(f"resumed from {checkpoint_path} at step {start_step}")
 
     @jax.jit
-    def update(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+    def update(params, opt_state, target):
+        # target is a jit ARGUMENT, never a closure constant — see the
+        # layout-miscompile note in render_loss_fn.
+        loss, grads = jax.value_and_grad(loss_fn)(params, target)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     losses = []
     for step in range(start_step, steps):
-        params, opt_state, loss = update(params, opt_state)
+        params, opt_state, loss = update(params, opt_state, target_arg)
         losses.append(float(loss))
         if log_every and step % log_every == 0:
             log(f"step {step}\tloss {float(loss):.6g}")

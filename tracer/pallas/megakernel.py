@@ -704,6 +704,45 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
             n = n + jnp.sum((arow(3 + c) < 0.5).astype(jnp.int32))
         return n
 
+    def serve(b, base):
+        """Serve every unserved corner living in block `b` (scalar id)
+        from the cache lines at blk_ref[base:base+384].
+
+        One matmul pair serves ALL 4 corners x 3 channels: channels are
+        stacked on the block's sublanes (384 rows) and the 4 corner
+        one-hots concatenate on the lane dim (128, 4T) — 2 bf16 passes
+        per visit instead of 24 tiny ones. The hi/lo split keeps the
+        0/1 selection EXACT in f32.
+        """
+        by = b // nbx
+        bx = b - by * nbx
+        bfull = blk_ref[pl.ds(base, 384), :]  # (384, 128): r, g, b blocks
+        bhi = bfull.astype(jnp.bfloat16).astype(jnp.float32)
+        blo = bfull - bhi
+
+        ohx_parts, ohys, hits, ws = [], [], [], []
+        for c, (yc, xc, wc) in enumerate(corners):
+            hitc = (arow(3 + c) < 0.5) & (bids[c] == b)
+            lx = xc - bx * 128
+            ly = yc - by * 128
+            ohx_parts.append((iota128 == flat(lx)).astype(jnp.float32))
+            ohys.append((iota128 == flat(ly)).astype(jnp.float32))
+            hits.append(hitc)
+            ws.append(flat(jnp.where(hitc, wc, 0.0)))
+        ohx_all = jnp.concatenate(ohx_parts, axis=1)  # (128, 4T)
+        col = _dot1(bhi, ohx_all) + _dot1(blo, ohx_all)  # (384, 4T)
+
+        tn = flat_n
+        for c in range(4):
+            colc = col[:, c * tn:(c + 1) * tn]
+            for ci in range(3):
+                val = jnp.sum(
+                    ohys[c] * colc[ci * 128:(ci + 1) * 128, :],
+                    axis=0, keepdims=True,
+                )  # (1, T)
+                aput(ci, arow(ci) + to_px(ws[c] * val))
+            aput(3 + c, jnp.where(hits[c], 1.0, arow(3 + c)))
+
     def cond(rem):
         return rem > 0
 
@@ -739,39 +778,13 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
                 cp.wait()
             cached_ref[0, slot] = b
 
-        # One matmul pair serves ALL 4 corners x 3 channels: channels are
-        # stacked on the block's sublanes (384 rows) and the 4 corner
-        # one-hots concatenate on the lane dim (128, 4T) — 2 bf16 passes
-        # per visit instead of 24 tiny ones. The hi/lo split keeps the
-        # 0/1 selection EXACT in f32.
-        bfull = blk_ref[pl.ds(base, 384), :]  # (384, 128): r, g, b blocks
-        bhi = bfull.astype(jnp.bfloat16).astype(jnp.float32)
-        blo = bfull - bhi
-
-        ohx_parts, ohys, hits, ws = [], [], [], []
-        for c, (yc, xc, wc) in enumerate(corners):
-            hitc = (arow(3 + c) < 0.5) & (bids[c] == b)
-            lx = xc - bx * 128
-            ly = yc - by * 128
-            ohx_parts.append((iota128 == flat(lx)).astype(jnp.float32))
-            ohys.append((iota128 == flat(ly)).astype(jnp.float32))
-            hits.append(hitc)
-            ws.append(flat(jnp.where(hitc, wc, 0.0)))
-        ohx_all = jnp.concatenate(ohx_parts, axis=1)  # (128, 4T)
-        col = _dot1(bhi, ohx_all) + _dot1(blo, ohx_all)  # (384, 4T)
-
-        tn = flat_n
-        for c in range(4):
-            colc = col[:, c * tn:(c + 1) * tn]
-            for ci in range(3):
-                val = jnp.sum(
-                    ohys[c] * colc[ci * 128:(ci + 1) * 128, :],
-                    axis=0, keepdims=True,
-                )  # (1, T)
-                aput(ci, arow(ci) + to_px(ws[c] * val))
-            aput(3 + c, jnp.where(hits[c], 1.0, arow(3 + c)))
+        serve(b, base)
         return unserved_count()
 
+    # (A straight-line "warm pass" serving both cached slots before the
+    # loop was measured SLOWER on hardware — 16.0 vs 17.7 Mrays/s: the
+    # unconditional matmul pairs + one-hot builds cost more than the
+    # demand iterations they replace. The loop stays the only server.)
     jax.lax.while_loop(cond, body, unserved_count())
     return arow(0), arow(1), arow(2)
 
@@ -1031,7 +1044,10 @@ def _kernel(
         del refs[-2:]
     idx_ref = None
     if record_idx:
-        assert not (clustered or persistent or sample_block > 1)
+        assert not (clustered or sample_block > 1)
+        # persistent recording scatters by per-lane (sample, depth) slot;
+        # 128-px tiles keep the tape row dim == lane dim relayout-free
+        assert not persistent or tile_px == 128
         idx_ref = refs.pop()  # second output: [spp*max_depth, tile] i32
         idx_ref[...] = jnp.full(idx_ref.shape, -1, jnp.int32)
     tex_refs = None
@@ -1242,6 +1258,25 @@ def _kernel(
                     num_s=num_s, num_p=num_p, n_pad=n_pad, tile_px=flat_n,
                     fast_math=fast_math,
                 )
+
+            if record_idx:
+                # Per-lane tape scatter: each lane writes its winner index
+                # at row s*max_depth + depth. Rows differ per lane, so a
+                # dynamic-slice store can't express it — but each (lane,
+                # slot) is bounced at most once, so a masked full-tape
+                # accumulate is an exact scatter: tape starts at -1 and a
+                # hit adds widx+1 (miss adds 0, leaving -1 = miss marker,
+                # which is also what the replay expects for never-reached
+                # bounces of dead lanes).
+                hit_r = t_best < jnp.float32(0.5 * K_INFINITY)  # (1, 128)
+                val1 = jnp.where(hit_r, widx + 1, 0)  # i32 (1, 128)
+                slot = (s * maxd_f + depth).astype(jnp.int32)  # (1, 128)
+                rows = spp * max_depth
+                row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+                took = (row_iota == jnp.broadcast_to(slot, (rows, 128))) & \
+                    jnp.broadcast_to(alive, (rows, 128))
+                add = jnp.where(took, jnp.broadcast_to(val1, (rows, 128)), 0)
+                idx_ref[...] = idx_ref[...] + add
 
             o3, d3, beta, fin, seed, alive = _shade(
                 rec, t_best, ox, oy, oz, dx, dy, dz, a, (b0, b1, b2),
@@ -1512,13 +1547,13 @@ def render_frame_pallas(
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
-        "tile_px", "stratify", "fast_math",
+        "tile_px", "stratify", "fast_math", "persistent",
     ),
 )
 def render_frame_pallas_record(
     scene, cam, width, height, spp, max_depth, reference_quirk=True,
     interpret=False, tile_px=128, stratify=False, fast_math=False,
-    sample_start=0,
+    sample_start=0, persistent=True,
 ):
     """Forward render that ALSO records the per-bounce winner primitive
     index: returns (fb [H,W,3], idx [spp, max_depth, H*W] i32, -1=miss).
@@ -1527,12 +1562,19 @@ def render_frame_pallas_record(
     VJP (tracer.pallas.replay) re-shades each bounce differentiably by
     GATHERING the recorded winner instead of re-running the O(prims)
     intersection search that dominates the remat backward.
+
+    persistent=True (default since round 2) records through the
+    persistent per-lane regeneration kernel (~2.4x the sample-loop
+    forward): each lane scatters its winner into its own (sample, depth)
+    tape row via a masked accumulate. Tape slots a lane never reaches
+    (bounces after path death) read -1 instead of the sample-loop mode's
+    dead-lane garbage — the replay masks both identically.
     """
     return _render_frame_impl(
         scene, cam, width, height, spp, max_depth, reference_quirk,
         interpret, 0, tile_px, stratify, None, sample_block=1,
-        fast_math=fast_math, persistent=False, record_idx=True,
-        sample_start=sample_start,
+        fast_math=fast_math, persistent=persistent and tile_px == 128,
+        record_idx=True, sample_start=sample_start,
     )
 
 

@@ -96,8 +96,18 @@ def _joined_hit_recorded(scene: Scene, origin, direction, rec_idx):
     n = num_s + num_p
 
     hp = jax.lax.Precision.HIGHEST
-    onehot = (rec_idx[:, None] == jnp.arange(n)[None, :]).astype(jnp.float32)
-    rec = jnp.matmul(onehot, _recorded_join_table(scene), precision=hp)  # [R, 35]
+
+    # checkpoint the one-hot join: without it, reverse mode saves every
+    # bounce's [R, N] selector as a scan residual — 12 GB at 512x384
+    # spp 8 (the no-remat OOM) — even though it is a pure function of the
+    # i32 tape. Rematerialized, the residual is the tape row itself and
+    # the backward's d(table) transpose is another MXU matmul.
+    @jax.checkpoint
+    def _join(table, idx_row):
+        onehot = (idx_row[:, None] == jnp.arange(n)[None, :]).astype(jnp.float32)
+        return jnp.matmul(onehot, table, precision=hp)
+
+    rec = _join(_recorded_join_table(scene), rec_idx)  # [R, 35]
 
     center, radius = rec[:, 0:3], rec[:, 3]
     is_sphere = rec[:, 4] > 0.5
