@@ -85,3 +85,52 @@ SAVERS = {
     "png": write_png,
     "bin": write_binary,
 }
+
+
+class ThreadedWriter:
+    """Background-thread frame writer with the AsyncFrameWriter interface.
+
+    Fallback/complement to the native C++ writer (tracer.io.native): the
+    encode (zlib for PNG releases the GIL) and disk write happen off the
+    render loop so the accelerator starts frame n+1 while frame n is
+    written — the reference writes synchronously in-loop
+    (camera.cu:211-215). Exceptions from the worker are re-raised at
+    wait()/close() so a full disk is not silently ignored.
+    """
+
+    def __init__(self, max_queued: int = 4):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=max_queued)
+        self._err = None
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                path, fb, divisor, fmt = item
+                SAVERS[fmt](path, fb, divisor)
+            except Exception as e:  # surfaced at wait()/close()
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, path: str, framebuffer: np.ndarray, divisor: int,
+               fmt: str = "png") -> None:
+        self._q.put((path, framebuffer, divisor, fmt))
+
+    def wait(self) -> None:
+        self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def close(self) -> None:
+        self.wait()
+        self._q.put(None)
+        self._thread.join()

@@ -67,10 +67,11 @@ def render_animation(
     writer = image_io.SAVERS[saver]
     rays = renderer.total_rays(width, height, sqrt_spp)
 
-    # Native async writer: quantize + encode + disk write happen on a C++
-    # background thread so the accelerator starts frame n+1 while frame n
-    # is being written (the reference writes synchronously in-loop,
-    # camera.cu:211-215). PNG falls back to the Python writer.
+    # Async writer: quantize + encode + disk write happen on a background
+    # thread so the accelerator starts frame n+1 while frame n is being
+    # written (the reference writes synchronously in-loop,
+    # camera.cu:211-215). bin/ppm use the native C++ writer when built;
+    # png (and any native-less install) uses the Python thread writer.
     async_writer = None
     if saver in ("bin", "ppm"):
         try:
@@ -80,6 +81,8 @@ def render_animation(
                 async_writer = io_native.AsyncFrameWriter()
         except Exception:
             async_writer = None
+    if async_writer is None:
+        async_writer = image_io.ThreadedWriter()
 
     fb = None
     frame_iter = range(params.num_frames) if frames is None else frames
