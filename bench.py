@@ -132,6 +132,15 @@ def _measure() -> int:
     except Exception as e:
         print(f"untextured bench failed: {e}", file=sys.stderr)
 
+    # 2b. untextured + Russian roulette from bounce 3 (opt-in unbiased
+    #     estimator the reference lacks; frame mean agrees to <0.1%)
+    try:
+        best = _time_frames(run_pallas(scene_untex, rr_start=3), cam_at)
+        _emit("fwd_rr_mrays_per_s", rays / best / 1e6,
+              {"engine": "pallas", "rr_start": 3})
+    except Exception as e:
+        print(f"rr bench failed: {e}", file=sys.stderr)
+
     # 3. fwd+bwd via the record/replay VJP (round-1 remat was 1.9 Mrays/s
     #    at this shape)
     try:
@@ -202,6 +211,18 @@ def _measure() -> int:
         best = _time_frames(run_big, lambda k: cam_at(k))
         _emit("fwd_2000sph_mrays_per_s", WIDTH * HEIGHT * bspp / best / 1e6,
               {"engine": "pallas", "spp": bspp, "depth": bdepth})
+
+        def run_big_rr(cam):
+            fb = megakernel.render_frame_pallas(
+                big, cam, WIDTH, HEIGHT, spp=bspp, max_depth=bdepth,
+                fast_math=True, rr_start=3,
+            )
+            float(fb[0, 0, 0])
+            return fb
+
+        best = _time_frames(run_big_rr, lambda k: cam_at(k))
+        _emit("fwd_2000sph_rr_mrays_per_s", WIDTH * HEIGHT * bspp / best / 1e6,
+              {"engine": "pallas", "spp": bspp, "depth": bdepth, "rr_start": 3})
     except Exception as e:
         print(f"2000-sphere bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 

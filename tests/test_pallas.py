@@ -343,3 +343,44 @@ def test_record_with_big_texture():
 
     rep = np.asarray(replay.render_frame_replay(scene, cam, idx, w, h, 2, 4))
     np.testing.assert_allclose(rep, np.asarray(fb), atol=1e-5)
+
+
+class TestRussianRoulette:
+    """Opt-in throughput RR (rr_start): engine parity + unbiasedness."""
+
+    def test_megakernel_matches_xla_with_rr(self):
+        scene = _scene()
+        w, h = 32, 8
+        cam = _cam(w, h)
+        ref = np.asarray(renderer.render_frame(
+            scene, cam, w, h, spp=2, max_depth=8, chunk=256, rr_start=2))
+        got = np.asarray(megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=2, max_depth=8, interpret=True, rr_start=2))
+        diff = np.abs(got - ref).max(axis=-1)
+        assert (diff < 1e-3).mean() > 0.99, f"max {diff.max()}"
+
+    def test_rr_sample_loop_matches_persistent(self):
+        scene = _scene()
+        w, h = 32, 8
+        cam = _cam(w, h)
+        a = np.asarray(megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=2, max_depth=8, interpret=True,
+            rr_start=2, persistent=True))
+        b = np.asarray(megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=2, max_depth=8, interpret=True,
+            rr_start=2, persistent=False))
+        np.testing.assert_array_equal(a, b)
+
+    def test_rr_unbiased(self):
+        """RR keeps the estimator unbiased: the frame MEAN with roulette
+        converges to the plain mean (per-pixel values differ — the
+        estimator is randomized — but the expectation is identical)."""
+        scene = _scene()
+        w, h, spp = 24, 16, 64
+        cam = _cam(w, h)
+        plain = np.asarray(renderer.render_frame(
+            scene, cam, w, h, spp=spp, max_depth=10, chunk=w * h))
+        rr = np.asarray(renderer.render_frame(
+            scene, cam, w, h, spp=spp, max_depth=10, chunk=w * h, rr_start=2))
+        m0, m1 = plain.mean() / spp, rr.mean() / spp
+        assert abs(m1 - m0) / max(m0, 1e-6) < 0.05, (m0, m1)

@@ -38,6 +38,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fast-math", action="store_true",
                    help="pallas engine: bf16x3 matmuls (~28%% faster; statistically "
                         "identical images, per-sample parity waived)")
+    p.add_argument("--rr", type=int, default=None, metavar="DEPTH",
+                   help="Russian-roulette path termination from bounce DEPTH on "
+                        "(unbiased deep-scene speedup; off by default for "
+                        "reference-estimator parity)")
     p.add_argument("--retries", type=int, default=0, metavar="N",
                    help="retry each frame up to N times on transient backend "
                         "failures (preempted worker, dropped connection)")
@@ -124,6 +128,7 @@ def main(argv=None) -> int:
         stratify=args.stratify,
         fast_math=args.fast_math,
         retries=args.retries,
+        rr_start=args.rr,
     )
     return 0
 

@@ -72,6 +72,7 @@ MAX_TEX_DIM = 256  # in-kernel texture cap (bilinear one-hot matmul cost)
 T_MIN = 1e-3  # camera.cu:226 (Interval(0.001f, 1e30f))
 T_MAX = 1e30
 DENOM_EPS = 1e-8  # plane.h:59
+RR_MIN_P = 0.05  # Russian-roulette survival floor (caps 1/p at 20x)
 
 _U = jnp.uint32
 
@@ -322,9 +323,22 @@ def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *,
         inv_a = 1.0 / a
         t_near = (-half_b - sqrt_d) * inv_a
         t_far = (-half_b + sqrt_d) * inv_a
-        near_ok = s_hit & (t_near >= T_MIN) & (t_near <= T_MAX)
-        far_ok = s_hit & (t_far >= T_MIN) & (t_far <= T_MAX)
-        t_parts.append(jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, K_INFINITY)))
+        if fast_math:
+            # fused near-then-far (sphere.h:38-46) in 5 VPU ops instead
+            # of 8: pick far when near < T_MIN, then validate once. Drops
+            # the t <= T_MAX guards — finite roots of real geometry never
+            # reach 1e30, and fast_math already waives per-sample parity.
+            # This is ~10% of the per-prim elementwise work that
+            # dominates large scenes (BASELINE 2000-sphere ablation).
+            t_nf = jnp.where(t_near >= T_MIN, t_near, t_far)
+            s_ok = s_hit & (t_nf >= T_MIN)
+            t_parts.append(jnp.where(s_ok, t_nf, K_INFINITY))
+        else:
+            near_ok = s_hit & (t_near >= T_MIN) & (t_near <= T_MAX)
+            far_ok = s_hit & (t_far >= T_MIN) & (t_far <= T_MAX)
+            t_parts.append(
+                jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, K_INFINITY))
+            )
     if num_p:
         no = po[num_s : num_s + num_p]
         ao = po[num_s + num_p : num_s + 2 * num_p]
@@ -824,7 +838,8 @@ def _sample_texture(texr_ref, texg_ref, texb_ref, u, v, th, tw):
 
 
 def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg, to_px,
-           pu=None, pv=None, tex_refs=None, flat=None, big_tex=None, ps=None):
+           pu=None, pv=None, tex_refs=None, flat=None, big_tex=None, ps=None,
+           rr_start=None, depth=None):
     # `to_px` reshapes a flat (1, T) intersection row into the kernel's
     # pixel-tile shape (identity for 128-px tiles, (1,1024)->(8,128) for
     # big tiles so shading runs at full sublane utilization).
@@ -994,6 +1009,26 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
     dx = jnp.where(live, ndx, dx)
     dy = jnp.where(live, ndy, dy)
     dz = jnp.where(live, ndz, dz)
+
+    if rr_start is not None:
+        # Opt-in throughput Russian roulette from bounce index `rr_start`
+        # on: an unbiased path terminator the reference applies only to
+        # dielectric absorption (materials.h:123-125), generalized to all
+        # materials. Deep scenes spend most bounces on near-zero-beta
+        # paths; killing them with probability 1 - max(beta) (survivors
+        # rescaled by 1/p) keeps the estimator unbiased while cutting the
+        # effective live-bounce count ~2x at depth >= 20. The extra draw
+        # advances every lane's stream uniformly (fixed-budget style) and
+        # matches the XLA integrator's rr_start stream exactly.
+        seed, u_t = _rand(seed)
+        p = jnp.clip(jnp.maximum(b0, jnp.maximum(b1, b2)),
+                     jnp.float32(RR_MIN_P), 1.0)
+        do = live & (jnp.asarray(depth, jnp.float32) >= jnp.float32(rr_start))
+        kill = do & (u_t >= p)
+        scale = jnp.where(do & ~kill, 1.0 / p, 1.0)
+        b0, b1, b2 = b0 * scale, b1 * scale, b2 * scale
+        live = live & ~kill
+
     return (ox, oy, oz), (dx, dy, dz), (b0, b1, b2), (f0, f1, f2), seed, live
 
 
@@ -1028,6 +1063,7 @@ def _kernel(
     record_idx: bool = False,
     culled: bool = False,
     cull_group: int = 4,
+    rr_start=None,
 ):
     refs = list(refs)
     cull_scr = None
@@ -1282,6 +1318,7 @@ def _kernel(
                 rec, t_best, ox, oy, oz, dx, dy, dz, a, (b0, b1, b2),
                 (f0, f1, f2), seed, alive, (bgr, bgg, bgb), to_px,
                 pu=pu, pv=pv, tex_refs=tex_refs, flat=flat, big_tex=big, ps=ps,
+                rr_start=rr_start, depth=depth,
             )
             put(F_S, s)
             put(F_DEPTH, depth + 1.0)
@@ -1397,6 +1434,7 @@ def _kernel(
                 rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed,
                 alive, (bgr, bgg, bgb), to_px,
                 pu=pu, pv=pv, tex_refs=tex_refs, flat=flat, big_tex=big, ps=ps,
+                rr_start=rr_start, depth=depth,
             )
             return (depth + 1, o3, d3, beta, final, seed, alive.astype(jnp.int32))
 
@@ -1430,11 +1468,13 @@ def _kernel(
     static_argnames=(
         "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
         "tile_px", "stratify", "sample_block", "fast_math", "persistent",
+        "rr_start",
     ),
 )
 def _render_brute_jit(
     scene, cam, width, height, spp, max_depth, reference_quirk, interpret,
     tile_px, stratify, sample_block, fast_math, persistent, row_offset=0,
+    rr_start=None,
 ):
     """Whole brute path (packing included) under one jit: repeat frames
     dispatch ONE remote call instead of ~30 tiny eager ops (the eager
@@ -1443,6 +1483,7 @@ def _render_brute_jit(
         scene, cam, width, height, spp, max_depth, reference_quirk,
         interpret, 0, tile_px, stratify, None, sample_block=sample_block,
         fast_math=fast_math, persistent=persistent, row_offset=row_offset,
+        rr_start=rr_start,
     )
 
 
@@ -1486,8 +1527,15 @@ def render_frame_pallas(
     persistent: bool = True,
     culled: bool = True,
     cull_group: int = 4,
+    rr_start=None,
 ):
     """Render one frame with the fused megakernel.
+
+    rr_start (int, default None=off) enables throughput Russian roulette
+    from that bounce index on — unbiased path termination for deep
+    scenes (see _shade); changes the RNG stream and the per-sample
+    estimator, so per-sample parity holds only against the XLA renderer
+    run with the same rr_start.
 
     persistent=True (default since round 2) runs ONE while-loop per tile
     with per-lane path regeneration: a lane starts its next sample the
@@ -1523,6 +1571,7 @@ def render_frame_pallas(
         return _render_brute_jit(
             scene, cam, width, height, spp, max_depth, reference_quirk,
             interpret, tile_px, stratify, sample_block, fast_math, persistent,
+            rr_start=rr_start,
         )
     key = (_scene_fingerprint(scene), cluster_k)
     tables = _CLUSTER_TABLE_CACHE.get(key)
@@ -1606,7 +1655,12 @@ def _render_frame_impl(
     interpret, cluster_k, tile_px, stratify, tables, textures=None,
     sample_block=1, fast_math=False, persistent=False, row_offset=0,
     record_idx=False, sample_start=0, culled=False, cull_group=4,
+    rr_start=None,
 ):
+    if rr_start is not None:
+        # replay would need to replicate the RR kill decisions; keep the
+        # recorded (differentiable) path on the plain estimator
+        assert not record_idx, "rr_start is not supported with recording"
     if sample_block > 1:
         assert tile_px == 128, "sample_block requires 128-px tiles"
         persistent = False  # explicit sample-major request wins over default
@@ -1658,6 +1712,7 @@ def _render_frame_impl(
         tex_th=th,
         tex_tw=tw,
         record_idx=record_idx,
+        rr_start=rr_start,
     )
 
     if cluster_k > 0:

@@ -40,6 +40,7 @@ def render_animation(
     stratify: bool = False,
     fast_math: bool = False,
     retries: int = 0,
+    rr_start=None,
 ):
     """Render `params.num_frames` frames; returns the last framebuffer.
 
@@ -130,6 +131,7 @@ def render_animation(
                             reference_quirk=reference_quirk,
                             interpret=jax.default_backend() == "cpu",
                             stratify=stratify, fast_math=fast_math,
+                            rr_start=rr_start,
                         )
                 except megakernel.PallasUnsupported as e:
                     print(f"pallas engine unavailable ({e}); using XLA",
@@ -151,7 +153,7 @@ def render_animation(
                     scene, cam, width, height, spp=spp,
                     max_depth=params.render.max_depth, intersector=intersector,
                     reference_quirk=reference_quirk, chunk=chunk, early_exit=early_exit,
-                    rng_mode=rng_mode, stratify=stratify,
+                    rng_mode=rng_mode, stratify=stratify, rr_start=rr_start,
                 )
             # A tiny host fetch is the reliable sync (block_until_ready
             # does not block on some tunneled backends); cudaEvent analog.

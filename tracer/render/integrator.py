@@ -27,6 +27,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from tracer.core import rng as rng_mod
 from tracer.materials import scatter as scatter_mod
 from tracer.materials import texture as texture_mod
 from tracer.render import hit as hit_mod
@@ -34,6 +35,7 @@ from tracer.render import hit_fast
 from tracer.scene.types import Scene
 
 INTERSECTORS = ("fast", "brute", "bvh")
+RR_MIN_P = 0.05  # Russian-roulette survival floor (== megakernel.RR_MIN_P)
 
 
 def _joined_hit(scene: Scene, origin, direction, intersector: str):
@@ -71,7 +73,7 @@ def _joined_hit(scene: Scene, origin, direction, intersector: str):
 
 
 def _bounce(scene: Scene, background, carry, intersector: str, rng_mode: str = "fixed",
-            joined_hit_fn=None):
+            joined_hit_fn=None, rr_start=None, depth=None):
     origin, direction, beta, final, seed, alive = carry
 
     # joined_hit_fn lets callers swap the O(prims) search for a recorded
@@ -109,10 +111,26 @@ def _bounce(scene: Scene, background, carry, intersector: str, rng_mode: str = "
     origin = jnp.where(live[..., None], new_origin, origin)
     direction = jnp.where(live[..., None], new_dir, direction)
 
+    if rr_start is not None:
+        # Opt-in throughput Russian roulette from bounce index rr_start
+        # on (generalizes the reference's dielectric-only roulette,
+        # materials.h:123-125): kill with probability 1 - max(beta),
+        # rescale survivors by 1/p — unbiased, and stream-identical to
+        # the megakernel's rr_start (one extra draw per bounce, every
+        # lane, after the scatter budget).
+        seed, u_t = rng_mod.random_float(seed)
+        p = jnp.clip(jnp.max(beta, axis=-1), RR_MIN_P, 1.0)
+        do = live & (depth >= rr_start)
+        kill = do & (u_t >= p)
+        scale = jnp.where(do & ~kill, 1.0 / p, 1.0)
+        beta = beta * scale[..., None]
+        live = live & ~kill
+
     return (origin, direction, beta, final, seed, live)
 
 
-@partial(jax.jit, static_argnames=("max_depth", "intersector", "early_exit", "rng_mode"))
+@partial(jax.jit, static_argnames=("max_depth", "intersector", "early_exit", "rng_mode",
+                                   "rr_start"))
 def trace(
     scene: Scene,
     background,
@@ -123,6 +141,7 @@ def trace(
     intersector: str = "fast",
     early_exit: bool = False,
     rng_mode: str = "fixed",
+    rr_start=None,
 ):
     """Radiance for a batch of rays.
 
@@ -155,6 +174,9 @@ def trace(
     alive = seed == seed  # all-True, vma-consistent with the ray batch
     carry = (origin, direction, beta, final, seed, alive)
 
+    if rr_start is not None and rng_mode != "fixed":
+        raise ValueError("rr_start requires the fixed-budget RNG stream")
+
     if early_exit:
         def cond(state):
             depth, carry = state
@@ -162,13 +184,15 @@ def trace(
 
         def body(state):
             depth, carry = state
-            return depth + 1, _bounce(scene, background, carry, intersector, rng_mode)
+            return depth + 1, _bounce(scene, background, carry, intersector, rng_mode,
+                                      rr_start=rr_start, depth=depth)
 
         _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
     else:
-        def body(carry, _):
-            return _bounce(scene, background, carry, intersector, rng_mode), None
+        def body(carry, depth):
+            return _bounce(scene, background, carry, intersector, rng_mode,
+                           rr_start=rr_start, depth=depth), None
 
-        carry, _ = jax.lax.scan(body, carry, None, length=max_depth)
+        carry, _ = jax.lax.scan(body, carry, jnp.arange(max_depth), length=max_depth)
     _, _, _, final, seed, _ = carry
     return final, seed

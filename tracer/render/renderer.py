@@ -41,6 +41,7 @@ def render_pixels(
     rng_mode: str = "fixed",
     stratify: bool = False,
     strat_sqrt_spp: int = 0,
+    rr_start=None,
 ):
     """Raw sample sums [N, 3] for a flat list of pixels.
 
@@ -85,6 +86,7 @@ def render_pixels(
         color, _ = integrator.trace(
             scene, cam.background, origin, direction, seed, max_depth,
             intersector=intersector, early_exit=early_exit, rng_mode=rng_mode,
+            rr_start=rr_start,
         )
         return color
 
@@ -132,7 +134,7 @@ def pixel_grid(width: int, height: int, reference_quirk: bool = True):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "early_exit", "rng_mode", "stratify"),
+    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "early_exit", "rng_mode", "stratify", "rr_start"),
 )
 def render_frame(
     scene: Scene,
@@ -147,8 +149,13 @@ def render_frame(
     early_exit: bool = False,
     rng_mode: str = "fixed",
     stratify: bool = False,
+    rr_start=None,
 ):
     """Render one frame; returns [height, width, 3] raw sample sums.
+
+    rr_start (int, default None=off): throughput Russian roulette from
+    that bounce index on (see integrator._bounce) — unbiased deep-scene
+    acceleration, stream-matched with the megakernel's rr_start.
 
     early_exit=True stops the bounce loop as soon as a whole pixel chunk
     has terminated (forward-only; see integrator.trace)."""
@@ -156,7 +163,7 @@ def render_frame(
     fb = render_pixels(
         scene, cam, i_flat, j_flat, base_seed, spp, max_depth,
         intersector=intersector, chunk=chunk, early_exit=early_exit,
-        rng_mode=rng_mode, stratify=stratify,
+        rng_mode=rng_mode, stratify=stratify, rr_start=rr_start,
     )
     return fb.reshape(height, width, 3)
 
