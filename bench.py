@@ -75,7 +75,10 @@ def _time_frames(run, cam_at, nframes=3):
 
 
 def _measure() -> int:
+    import jax
     import numpy as np
+
+    probe = jax.jit(lambda x: x[0, 0, 0])  # 1-dispatch sync (see driver)
 
     from tracer.render import camera as camera_mod
     from tracer.scene import builders, config
@@ -86,9 +89,8 @@ def _measure() -> int:
     scene_untex = scene_tex._replace(textures=None)
 
     def cam_at(k, w=WIDTH, h=HEIGHT):
-        lf, la = camera_mod.camera_path_position(params.camera_path, k, params.num_frames)
-        return camera_mod.build_camera_data(
-            origin=lf, look_at=la, width=w, height=h, vfov=params.fov_degrees
+        return camera_mod.camera_at(
+            params.camera_path, k, params.num_frames, w, h, params.fov_degrees
         )
 
     def run_pallas(scene, **kw):
@@ -97,7 +99,7 @@ def _measure() -> int:
                 scene, cam, WIDTH, HEIGHT, spp=SPP, max_depth=DEPTH,
                 fast_math=True, **kw,
             )
-            float(fb[0, 0, 0])  # reliable sync (tiny host fetch)
+            float(probe(fb))  # reliable sync (tiny host fetch)
             return fb
         return run
 
@@ -109,7 +111,7 @@ def _measure() -> int:
                 scene, cam, WIDTH, HEIGHT, spp=SPP, max_depth=DEPTH,
                 chunk=16384, early_exit=True,
             )
-            float(fb[0, 0, 0])
+            float(probe(fb))
             return fb
         return run
 
@@ -205,7 +207,7 @@ def _measure() -> int:
             fb = megakernel.render_frame_pallas(
                 big, cam, WIDTH, HEIGHT, spp=bspp, max_depth=bdepth, fast_math=True
             )
-            float(fb[0, 0, 0])
+            float(probe(fb))
             return fb
 
         best = _time_frames(run_big, lambda k: cam_at(k))
@@ -217,7 +219,7 @@ def _measure() -> int:
                 big, cam, WIDTH, HEIGHT, spp=bspp, max_depth=bdepth,
                 fast_math=True, rr_start=3,
             )
-            float(fb[0, 0, 0])
+            float(probe(fb))
             return fb
 
         best = _time_frames(run_big_rr, lambda k: cam_at(k))

@@ -384,3 +384,46 @@ class TestRussianRoulette:
             scene, cam, w, h, spp=spp, max_depth=10, chunk=w * h, rr_start=2))
         m0, m1 = plain.mean() / spp, rr.mean() / spp
         assert abs(m1 - m0) / max(m0, 1e-6) < 0.05, (m0, m1)
+
+
+class TestSampleMajorPersistent:
+    """sample_block > 1 with persistent=True: ps0 concurrent samples of
+    the same 128 pixels per tile, per-row intersection, (ps0, 128)
+    shading. Same per-sample radiance paths as every other engine; only
+    the final per-pixel f32 summation grouping differs (cross-sublane
+    fold), hence tolerance rather than bit parity."""
+
+    @pytest.mark.parametrize("spp", [8, 6, 16])
+    def test_matches_xla(self, spp):
+        scene = _scene()
+        w, h = 32, 8
+        cam = _cam(w, h)
+        ref = np.asarray(renderer.render_frame(
+            scene, cam, w, h, spp=spp, max_depth=4, chunk=256))
+        got = np.asarray(megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=spp, max_depth=4, interpret=True,
+            sample_block=8, persistent=True))
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
+
+    def test_partial_tile_and_rr(self):
+        scene = _scene()
+        w, h = 20, 5  # 100 pixels: padding lanes must stay silent
+        cam = _cam(w, h)
+        ref = np.asarray(renderer.render_frame(
+            scene, cam, w, h, spp=8, max_depth=6, chunk=128, rr_start=2))
+        got = np.asarray(megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=8, max_depth=6, interpret=True,
+            sample_block=8, persistent=True, rr_start=2))
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
+
+    def test_stratified(self):
+        scene = _scene()
+        w, h = 32, 8
+        cam = _cam(w, h)
+        ref = np.asarray(megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=16, max_depth=4, interpret=True,
+            stratify=True, persistent=True))
+        got = np.asarray(megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=16, max_depth=4, interpret=True,
+            stratify=True, sample_block=8, persistent=True))
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)

@@ -380,6 +380,42 @@ def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *,
     return t_best, rec, pu, pv, widx
 
 
+def _intersect_brute_rows(proj_ref, const_ref, join_ref, o3, d3, a, od, oo, *,
+                          num_s, num_p, n_pad, fast_math, ps0):
+    """Sample-major brute intersection: ps0 sublane rows of 128 rays each,
+    intersected one row at a time so ray state NEVER leaves its native
+    (ps0, 128) layout — the (8,128)<->(1,1024) relayouts that made
+    1024-px tiles lose (ROADMAP round-2 measurements) simply don't occur.
+    Returns t_best/pu/pv shaped (ps0, 128) and rec stacked FIELD-MAJOR
+    (JROWS*ps0, 128): field f of all rows at rec[f*ps0:(f+1)*ps0], which
+    is exactly the (ps0, 128) slice _shade wants per field."""
+    (ox, oy, oz), (dx, dy, dz) = o3, d3
+    zeros5 = jnp.zeros((5, 128), jnp.float32)
+    t_rows, rec_rows, pu_rows, pv_rows = [], [], [], []
+    for r in range(ps0):
+        o8 = jnp.concatenate(
+            [ox[r:r + 1], oy[r:r + 1], oz[r:r + 1], zeros5], axis=0)
+        d8 = jnp.concatenate(
+            [dx[r:r + 1], dy[r:r + 1], dz[r:r + 1], zeros5], axis=0)
+        t_b, rec, pu, pv, _ = _intersect_brute(
+            proj_ref, const_ref, join_ref, o8, d8,
+            a[r:r + 1], od[r:r + 1], oo[r:r + 1],
+            num_s=num_s, num_p=num_p, n_pad=n_pad, tile_px=128,
+            fast_math=fast_math,
+        )
+        t_rows.append(t_b)
+        rec_rows.append(rec)
+        pu_rows.append(pu)
+        pv_rows.append(pv)
+    t_best = jnp.concatenate(t_rows, axis=0)
+    jr = rec_rows[0].shape[0]
+    rec_stack = jnp.concatenate(
+        [rec_rows[r][f:f + 1] for f in range(jr) for r in range(ps0)], axis=0)
+    pu = jnp.concatenate(pu_rows, axis=0)
+    pv = jnp.concatenate(pv_rows, axis=0)
+    return t_best, rec_stack, pu, pv
+
+
 def _intersect_clustered(
     proj_ref, const_ref, join_ref, cbox_ref, o8, d8, a, od, oo,
     ox, oy, oz, dx, dy, dz, *, num_clusters, k, tile_px, fast_math,
@@ -839,12 +875,15 @@ def _sample_texture(texr_ref, texg_ref, texb_ref, u, v, th, tw):
 
 def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg, to_px,
            pu=None, pv=None, tex_refs=None, flat=None, big_tex=None, ps=None,
-           rr_start=None, depth=None):
+           rr_start=None, depth=None, rec_rows=1):
     # `to_px` reshapes a flat (1, T) intersection row into the kernel's
     # pixel-tile shape (identity for 128-px tiles, (1,1024)->(8,128) for
     # big tiles so shading runs at full sublane utilization).
+    # `rec_rows` > 1 = sample-major mode: rec is stacked field-major with
+    # rec_rows sublane rows per field (see _intersect_brute_rows), so a
+    # field slice is already the (rec_rows, 128) tile shape.
     bgr, bgg, bgb = bg
-    row = lambda r0: to_px(rec[r0 : r0 + 1])
+    row = lambda r0: to_px(rec[r0 * rec_rows : (r0 + 1) * rec_rows])
     t_best = to_px(t_best)
     hit = t_best < K_INFINITY
     cx, cy, cz, rad = row(J_CX), row(J_CY), row(J_CZ), row(J_RAD)
@@ -1162,7 +1201,16 @@ def _kernel(
         # into `final` and folds into `acc` at sample end, preserving the
         # exact f32 summation grouping of the other engines.
         # ------------------------------------------------------------------
-        assert sample_block == 1
+        # sample-major persistent (smaj): ps0 sublane rows are ps0
+        # CONCURRENT SAMPLES of the same 128 pixels; lane (r, c) walks
+        # sample stream r, r+ps0, r+2*ps0, ... of pixel c. All per-lane
+        # state/shading runs at native (ps0, 128) full-sublane shapes and
+        # the intersection loops per row (_intersect_brute_rows), so no
+        # (ps0,128)<->(1, ps0*128) relayouts happen anywhere on the
+        # untextured path — the combination 1024-px tiles couldn't reach.
+        smaj = sample_block > 1
+        if smaj:
+            valid = jnp.broadcast_to(valid_px, ps)
         # per-lane state lives in VMEM scratch refs, NOT loop carries:
         # only a scalar `remaining` count is carried, which keeps Mosaic's
         # while-carry layout inference out of the picture entirely (vector
@@ -1182,7 +1230,9 @@ def _kernel(
                 put(i + c, v3[c])
 
         flat = lambda x: jnp.broadcast_to(x, ps).reshape(1, flat_n)
-        to_px = lambda r: r.reshape(ps)
+        # smaj state is ALREADY tile-shaped; everything else reshapes the
+        # flat intersection row back to the tile
+        to_px = (lambda r: r) if smaj else (lambda r: r.reshape(ps))
 
         # per-lane primary-ray pixel centers (camera.cu:218-224)
         pcx = p00x + i_px * dux + j_px * dvx
@@ -1194,8 +1244,11 @@ def _kernel(
         # s/depth bookkeeping is f32 (exact for these tiny ranges)
         spp_f = jnp.float32(spp)
         maxd_f = jnp.float32(max_depth)
+        # sample stride: smaj lane (r, c) walks samples r, r+ps0, ...
+        s_stride = jnp.float32(ps0 if smaj else 1)
+        s_first = s_off.astype(jnp.float32) - s_stride if smaj else -1.0
 
-        put(F_S, jnp.where(valid, -1.0, spp_f))  # -1 = about to start s=0
+        put(F_S, jnp.where(valid, s_first, spp_f))  # about to start 1st sample
         put(F_DEPTH, jnp.broadcast_to(maxd_f, ps))  # forces regen on entry
         put(F_ALIVE, jnp.zeros(ps, jnp.float32))
         zero3 = (jnp.zeros(ps, jnp.float32),) * 3
@@ -1204,7 +1257,7 @@ def _kernel(
         put3(F_B, zero3)
         put3(F_F, zero3)
         put3(F_A, zero3)
-        seed_ref[...] = base_seed
+        seed_ref[...] = jnp.broadcast_to(base_seed, ps)
 
         def cond(remaining):
             return remaining > 0
@@ -1227,7 +1280,7 @@ def _kernel(
             f0 = jnp.where(over, 0.0, f0)
             f1 = jnp.where(over, 0.0, f1)
             f2 = jnp.where(over, 0.0, f2)
-            s = jnp.where(over, jnp.minimum(s + 1.0, spp_f), s)
+            s = jnp.where(over, jnp.minimum(s + s_stride, spp_f), s)
             can = over & (s < spp_f) & valid
 
             s_g = s + samp0.astype(jnp.float32)  # global sample id
@@ -1261,6 +1314,34 @@ def _kernel(
             alive = (over & can) | (~over & alive)
 
             # -- one bounce for every live lane ---------------------------
+            a = dx * dx + dy * dy + dz * dz
+            od = ox * dx + oy * dy + oz * dz
+            oo = ox * ox + oy * oy + oz * oz
+
+            if smaj:
+                assert not clustered and not record_idx
+                t_best, rec, pu, pv = _intersect_brute_rows(
+                    proj_ref, const_ref, join_ref,
+                    (ox, oy, oz), (dx, dy, dz), a, od, oo,
+                    num_s=num_s, num_p=num_p, n_pad=n_pad,
+                    fast_math=fast_math, ps0=ps0,
+                )
+                o3, d3, beta, fin, seed, alive = _shade(
+                    rec, t_best, ox, oy, oz, dx, dy, dz, a, (b0, b1, b2),
+                    (f0, f1, f2), seed, alive, (bgr, bgg, bgb), to_px,
+                    pu=pu, pv=pv, tex_refs=tex_refs, flat=flat, big_tex=big,
+                    ps=ps, rr_start=rr_start, depth=depth, rec_rows=ps0,
+                )
+                put(F_S, s)
+                put(F_DEPTH, depth + 1.0)
+                put(F_ALIVE, jnp.where(alive, 1.0, 0.0))
+                put3(F_O, o3)
+                put3(F_D, d3)
+                put3(F_B, beta)
+                put3(F_F, fin)
+                seed_ref[...] = seed
+                return jnp.sum((s < spp_f).astype(jnp.int32))
+
             o8 = jnp.concatenate(
                 [flat(ox), flat(oy), flat(oz), jnp.zeros((5, flat_n), jnp.float32)],
                 axis=0,
@@ -1269,9 +1350,6 @@ def _kernel(
                 [flat(dx), flat(dy), flat(dz), jnp.zeros((5, flat_n), jnp.float32)],
                 axis=0,
             )
-            a = dx * dx + dy * dy + dz * dz
-            od = ox * dx + oy * dy + oz * dz
-            oo = ox * ox + oy * oy + oz * oz
 
             if clustered and culled:
                 t_best, rec, pu, pv = _intersect_culled(
@@ -1336,9 +1414,17 @@ def _kernel(
         # fold happens at the top of the NEXT iteration, and a lane only
         # retires (s -> spp) in the same iteration its final sample folds,
         # so at loop exit every contribution is already in the acc rows.
-        out_ref[0:1, :] = row(F_A + 0).reshape(1, tile_px)
-        out_ref[1:2, :] = row(F_A + 1).reshape(1, tile_px)
-        out_ref[2:3, :] = row(F_A + 2).reshape(1, tile_px)
+        if smaj:
+            # each sublane row holds one sample sub-stream's sums; the
+            # pixel total is their cross-sublane sum (different f32
+            # grouping than the sequential sample loop — tolerance, not
+            # bit, parity vs the other engines)
+            for c in range(3):
+                out_ref[c:c + 1, :] = jnp.sum(row(F_A + c), axis=0, keepdims=True)
+        else:
+            out_ref[0:1, :] = row(F_A + 0).reshape(1, tile_px)
+            out_ref[1:2, :] = row(F_A + 1).reshape(1, tile_px)
+            out_ref[2:3, :] = row(F_A + 2).reshape(1, tile_px)
         return
 
     def one_sample(s, acc):
@@ -1663,7 +1749,12 @@ def _render_frame_impl(
         assert not record_idx, "rr_start is not supported with recording"
     if sample_block > 1:
         assert tile_px == 128, "sample_block requires 128-px tiles"
-        persistent = False  # explicit sample-major request wins over default
+        if persistent:
+            # sample-major persistent: per-lane regeneration at (SPB, 128)
+            # with per-row intersection (no relayouts); unsupported
+            # combinations fall back to the sample-loop sample-major mode
+            if record_idx or cluster_k > 0:
+                persistent = False
     tex_src = scene.textures if scene is not None else textures
     has_tex = tex_src is not None
     big_tex = False

@@ -8,8 +8,10 @@ gradients flow through the basis and the ray directions).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from tracer.core import rng, vec
@@ -129,3 +131,34 @@ def camera_path_position(path, frame: jnp.ndarray, num_frames: int):
     phi_n = path.phin0 + path.wn * t
     lookat = jnp.stack([r_n * jnp.cos(phi_n), r_n * jnp.sin(phi_n), z_n])
     return lookfrom, lookat
+
+
+@partial(jax.jit, static_argnames=("path_tuple", "num_frames", "width", "height",
+                                   "vfov", "background"))
+def _camera_at_jit(path_tuple, frame, num_frames, width, height, vfov, background):
+    from tracer.scene.params import CameraPathParams
+
+    path = CameraPathParams(*path_tuple)
+    lookfrom, lookat = camera_path_position(path, frame, num_frames)
+    return build_camera_data(
+        origin=lookfrom, look_at=lookat, width=width, height=height,
+        vfov=vfov, background=background,
+    )
+
+
+def camera_at(path, frame, num_frames, width, height, vfov,
+              background=(0.0, 0.0, 0.0)) -> CameraData:
+    """Camera for animation frame `frame` in ONE dispatch.
+
+    Fuses camera_path_position + build_camera_data under jit: the eager
+    composition runs ~100 tiny device ops per frame, which costs tens of
+    ms per frame through a remote/tunneled backend (measured ~90 ms of
+    the canonical frame's wall time before this existed). Numerically
+    identical math; the path params are passed as a static tuple so only
+    the frame index is traced."""
+    import dataclasses
+
+    return _camera_at_jit(
+        tuple(dataclasses.astuple(path)), frame, num_frames, width, height,
+        float(vfov), tuple(background),
+    )

@@ -23,6 +23,17 @@ from tracer.scene.params import SceneParams
 from tracer.scene.types import Scene
 
 
+def _sync_probe(fb):
+    import jax
+
+    global _sync_probe_jit
+    try:
+        return _sync_probe_jit(fb)
+    except NameError:
+        _sync_probe_jit = jax.jit(lambda x: x[0, 0, 0])
+        return _sync_probe_jit(fb)
+
+
 def render_animation(
     scene: Scene,
     params: SceneParams,
@@ -88,16 +99,12 @@ def render_animation(
     fb = None
     frame_iter = range(params.num_frames) if frames is None else frames
     for n in frame_iter:
-        lookfrom, lookat = camera_mod.camera_path_position(
-            params.camera_path, n, params.num_frames
-        )
-        cam = camera_mod.build_camera_data(
-            origin=lookfrom,
-            look_at=lookat,
-            width=width,
-            height=height,
-            vfov=params.fov_degrees,
-            background=(0.0, 0.0, 0.0),  # camera.cu:323
+        # one-dispatch fused path eval + camera build (camera.cu:303-324;
+        # the eager composition costs ~100 device roundtrips per frame
+        # through a remote backend)
+        cam = camera_mod.camera_at(
+            params.camera_path, n, params.num_frames, width, height,
+            params.fov_degrees, background=(0.0, 0.0, 0.0),  # camera.cu:323
         )
         t0 = time.perf_counter()
         if engine == "pallas" and rng_mode != "fixed":
@@ -157,7 +164,9 @@ def render_animation(
                 )
             # A tiny host fetch is the reliable sync (block_until_ready
             # does not block on some tunneled backends); cudaEvent analog.
-            float(fb_dev[0, 0, 0])
+            # The probe is jitted so the sync costs ONE dispatch + one
+            # scalar fetch instead of an eager slice + fetch roundtrip.
+            float(_sync_probe(fb_dev))
             return fb_dev
 
         if retries > 0:
