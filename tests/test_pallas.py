@@ -427,3 +427,66 @@ class TestSampleMajorPersistent:
             scene, cam, w, h, spp=16, max_depth=4, interpret=True,
             stratify=True, sample_block=8, persistent=True))
         np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
+
+
+class TestNoFarProof:
+    """fast_math drops the sphere far root ONLY when the static proof
+    holds (no dielectric, pairwise non-overlapping spheres clear of all
+    planes, camera outside); the optimized render must match the
+    far-root render on such scenes."""
+
+    def _separated_scene(self, extra_mtype=None):
+        import numpy as np
+
+        from tracer.scene import types as T
+
+        g = np.random.default_rng(7)
+        n = 24
+        radii = g.uniform(0.3, 0.8, size=(n,)).astype(np.float32)
+        gx, gy = np.meshgrid(np.arange(6), np.arange(4), indexing="ij")
+        cell = np.stack([gx.ravel() * 2.0 - 5.0, gy.ravel() * 2.0 - 3.0], -1)
+        centers = np.zeros((n, 3), np.float32)
+        centers[:, :2] = cell + g.uniform(-1, 1, (n, 2)) * (1.0 - radii - 0.02)[:, None]
+        centers[:, 2] = radii + 0.05 + g.uniform(0, 2, n)
+        mtypes = [T.LAMBERTIAN, T.METAL, T.DIFFUSE_LIGHT]
+        if extra_mtype is not None:
+            mtypes.append(extra_mtype)
+        m = len(mtypes)
+        mats = T.make_materials(
+            mtype=np.asarray(mtypes, np.int32),
+            fuzz=np.zeros(m, np.float32), ir=np.ones(m, np.float32),
+            absorption=np.zeros((m, 3), np.float32),
+            albedo=np.tile(np.float32([0.6, 0.5, 0.4]), (m, 1)),
+            emit=np.float32([[0, 0, 0], [0, 0, 0], [7, 7, 7]] + [[0, 0, 0]] * (m - 3)),
+            tex_id=np.full(m, -1, np.int32),
+        )
+        planes = T.make_planes(
+            np.asarray([T.QUAD], np.int32), np.float32([[-10, -10, 0]]),
+            np.float32([[20, 0, 0]]), np.float32([[0, 20, 0]]),
+            np.asarray([0], np.int32),
+        )
+        spheres = T.make_spheres(centers, radii, (np.arange(n) % 3).astype(np.int32))
+        return T.Scene(spheres, planes, mats, None, None)
+
+    def test_proof_gating(self):
+        from tracer.scene import types as T
+
+        cam = _cam(16, 8)
+        assert megakernel._interior_free(self._separated_scene(), cam)
+        # an (unused) dielectric material in the table disables the proof
+        assert not megakernel._interior_free(
+            self._separated_scene(extra_mtype=T.DIELECTRIC), cam)
+
+    def test_no_far_image_unchanged(self):
+        w, h = 32, 8
+        cam = _cam(w, h)
+        safe = self._separated_scene()
+        from tracer.scene import types as T
+
+        unsafe = self._separated_scene(extra_mtype=T.DIELECTRIC)  # same geometry
+        a = np.asarray(megakernel.render_frame_pallas(
+            safe, cam, w, h, spp=4, max_depth=6, interpret=True, fast_math=True))
+        b = np.asarray(megakernel.render_frame_pallas(
+            unsafe, cam, w, h, spp=4, max_depth=6, interpret=True, fast_math=True))
+        d = np.abs(a - b).max(axis=-1)
+        assert (d < 1e-4).mean() > 0.99, f"max {d.max()}"

@@ -311,7 +311,7 @@ def _winner_join(t_blk, join_blk, iota_k, k, fast_math=False):
 
 
 def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *,
-                     num_s, num_p, n_pad, tile_px, fast_math):
+                     num_s, num_p, n_pad, tile_px, fast_math, no_far=False):
     n = num_s + num_p
     npk = proj_ref.shape[0] // 2
     dot = _dot3 if fast_math else _dot_exact
@@ -329,8 +329,19 @@ def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *,
         sqrt_d = jnp.sqrt(jnp.where(s_hit, disc, 1.0))
         inv_a = 1.0 / a
         t_near = (-half_b - sqrt_d) * inv_a
-        t_far = (-half_b + sqrt_d) * inv_a
-        if fast_math:
+        t_far = None if (fast_math and no_far) else (-half_b + sqrt_d) * inv_a
+        if fast_math and no_far:
+            # scene has NO dielectric material (checked host-side): rays
+            # never legitimately start inside a sphere, so the far root
+            # (sphere.h:41-46, interior exit) is statically dead — skip
+            # its compute and selection entirely. Divergence from the
+            # plain estimator: a ray origin within T_MIN of a surface no
+            # longer self-transmits through the sphere (it misses
+            # instead), and a camera placed inside a sphere sees through
+            # it — both outside fast_math's parity contract.
+            s_ok = s_hit & (t_near >= T_MIN)
+            t_parts.append(jnp.where(s_ok, t_near, K_INFINITY))
+        elif fast_math:
             # fused near-then-far (sphere.h:38-46) in 5 VPU ops instead
             # of 8: pick far when near < T_MIN, then validate once. Drops
             # the t <= T_MAX guards — finite roots of real geometry never
@@ -388,7 +399,7 @@ def _intersect_brute(proj_ref, const_ref, join_ref, o8, d8, a, od, oo, *,
 
 
 def _intersect_brute_rows(proj_ref, const_ref, join_ref, o3, d3, a, od, oo, *,
-                          num_s, num_p, n_pad, fast_math, ps0):
+                          num_s, num_p, n_pad, fast_math, ps0, no_far=False):
     """Sample-major brute intersection: ps0 sublane rows of 128 rays each,
     intersected one row at a time so ray state NEVER leaves its native
     (ps0, 128) layout — the (8,128)<->(1,1024) relayouts that made
@@ -408,7 +419,7 @@ def _intersect_brute_rows(proj_ref, const_ref, join_ref, o3, d3, a, od, oo, *,
             proj_ref, const_ref, join_ref, o8, d8,
             a[r:r + 1], od[r:r + 1], oo[r:r + 1],
             num_s=num_s, num_p=num_p, n_pad=n_pad, tile_px=128,
-            fast_math=fast_math,
+            fast_math=fast_math, no_far=no_far,
         )
         t_rows.append(t_b)
         rec_rows.append(rec)
@@ -1116,6 +1127,7 @@ def _kernel(
     culled: bool = False,
     cull_group: int = 4,
     rr_start=None,
+    no_far: bool = False,
 ):
     refs = list(refs)
     cull_scr = None
@@ -1337,7 +1349,7 @@ def _kernel(
                     proj_ref, const_ref, join_ref,
                     (ox, oy, oz), (dx, dy, dz), a, od, oo,
                     num_s=num_s, num_p=num_p, n_pad=n_pad,
-                    fast_math=fast_math, ps0=ps0,
+                    fast_math=fast_math, ps0=ps0, no_far=no_far,
                 )
                 o3, d3, beta, fin, seed, alive = _shade(
                     rec, t_best, ox, oy, oz, dx, dy, dz, a, (b0, b1, b2),
@@ -1383,7 +1395,7 @@ def _kernel(
                     proj_ref, const_ref, join_ref, o8, d8,
                     flat(a), flat(od), flat(oo),
                     num_s=num_s, num_p=num_p, n_pad=n_pad, tile_px=flat_n,
-                    fast_math=fast_math,
+                    fast_math=fast_math, no_far=no_far,
                 )
 
             if record_idx:
@@ -1518,7 +1530,7 @@ def _kernel(
                     proj_ref, const_ref, join_ref, o8, d8,
                     flat(a), flat(od), flat(oo),
                     num_s=num_s, num_p=num_p, n_pad=n_pad, tile_px=flat_n,
-                    fast_math=fast_math,
+                    fast_math=fast_math, no_far=no_far,
                 )
 
             if record_idx:
@@ -1567,13 +1579,13 @@ def _kernel(
     static_argnames=(
         "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
         "tile_px", "stratify", "sample_block", "fast_math", "persistent",
-        "rr_start",
+        "rr_start", "no_far",
     ),
 )
 def _render_brute_jit(
     scene, cam, width, height, spp, max_depth, reference_quirk, interpret,
     tile_px, stratify, sample_block, fast_math, persistent, row_offset=0,
-    rr_start=None,
+    rr_start=None, no_far=False,
 ):
     """Whole brute path (packing included) under one jit: repeat frames
     dispatch ONE remote call instead of ~30 tiny eager ops (the eager
@@ -1582,7 +1594,7 @@ def _render_brute_jit(
         scene, cam, width, height, spp, max_depth, reference_quirk,
         interpret, 0, tile_px, stratify, None, sample_block=sample_block,
         fast_math=fast_math, persistent=persistent, row_offset=row_offset,
-        rr_start=rr_start,
+        rr_start=rr_start, no_far=no_far,
     )
 
 
@@ -1607,6 +1619,53 @@ def _scene_fingerprint(scene: Scene) -> bytes:
         h.update(str(a.shape).encode())
         h.update(a.tobytes())
     return h.digest()
+
+
+# scene-level part of the no_far proof, cached by geometry content
+_INTERIOR_FREE_CACHE = collections.OrderedDict()
+
+
+def _interior_free(scene, cam) -> bool:
+    """True iff no ray of this render can start inside a sphere (the
+    static proof that makes the sphere far root dead code — see the
+    no_far comment at the call site). Conservative: any doubt, any traced
+    value, or >4096 spheres (O(n^2) guard) returns False."""
+    import numpy as _np
+
+    try:
+        mt = _np.asarray(scene.materials.mtype)
+        if bool((mt == 2).any()):  # 2 = DIELECTRIC: refracted interiors
+            return False
+        c = _np.asarray(scene.spheres.center)
+        r = _np.asarray(scene.spheres.radius)
+        if c.shape[0] > 4096:
+            return False
+        key = _scene_fingerprint(scene)
+        hit = _INTERIOR_FREE_CACHE.get(key)
+        if hit is None:
+            ok = True
+            if c.shape[0] > 1:
+                d2 = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+                _np.fill_diagonal(d2, _np.inf)
+                ok = not bool((d2 < (r[:, None] + r[None, :]) ** 2).any())
+            if ok and scene.planes is not None:
+                pn = _np.asarray(scene.planes.normal)
+                if pn.size:
+                    pd = _np.asarray(scene.planes.d)
+                    nn = _np.linalg.norm(pn, axis=1)
+                    # conservative: treat each finite plane as infinite
+                    dist = _np.abs(c @ pn.T - pd[None, :])
+                    dist = dist / _np.maximum(nn[None, :], 1e-30)
+                    ok = not bool((dist < r[:, None]).any())
+            while len(_INTERIOR_FREE_CACHE) >= 64:
+                _INTERIOR_FREE_CACHE.popitem(last=False)
+            _INTERIOR_FREE_CACHE[key] = hit = ok
+        if not hit:
+            return False
+        eye = _np.asarray(cam.origin)
+        return bool((((c - eye[None, :]) ** 2).sum(-1) > r * r).all())
+    except Exception:  # traced scene/cam under an outer jit
+        return False
 
 
 def render_frame_pallas(
@@ -1667,10 +1726,20 @@ def render_frame_pallas(
     jits the rest.
     """
     if cluster_k == 0:
+        # host-side static scene property: the sphere far root is dead
+        # code (fast_math only) iff NO ray can ever start inside a
+        # sphere. Proven when (a) no dielectric material (no refracted
+        # interior rays), (b) spheres are pairwise non-overlapping and
+        # intersect no plane (a scatter origin on one surface can then
+        # never sit inside another sphere — overlap interiors otherwise
+        # create bounce traps the reference renders), and (c) the camera
+        # is outside every sphere. Only checkable when scene and cam are
+        # concrete — under an outer jit the safe default (False) applies.
+        no_far = fast_math and _interior_free(scene, cam)
         return _render_brute_jit(
             scene, cam, width, height, spp, max_depth, reference_quirk,
             interpret, tile_px, stratify, sample_block, fast_math, persistent,
-            rr_start=rr_start,
+            rr_start=rr_start, no_far=no_far,
         )
     key = (_scene_fingerprint(scene), cluster_k)
     tables = _CLUSTER_TABLE_CACHE.get(key)
@@ -1754,7 +1823,7 @@ def _render_frame_impl(
     interpret, cluster_k, tile_px, stratify, tables, textures=None,
     sample_block=1, fast_math=False, persistent=False, row_offset=0,
     record_idx=False, sample_start=0, culled=False, cull_group=4,
-    rr_start=None,
+    rr_start=None, no_far=False,
 ):
     if rr_start is not None:
         # replay would need to replicate the RR kill decisions; keep the
@@ -1817,6 +1886,7 @@ def _render_frame_impl(
         tex_tw=tw,
         record_idx=record_idx,
         rr_start=rr_start,
+        no_far=no_far and fast_math,
     )
 
     if cluster_k > 0:
