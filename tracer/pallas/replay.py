@@ -88,14 +88,53 @@ def _recorded_join_table(scene: Scene):
     )  # [N, 22 + 13]
 
 
+def _exact_onehot_mm(onehot, table):
+    """onehot (0/1 f32) @ table in THREE bf16 MXU passes, exactly.
+
+    f32 = hi + mid + lo with each part bf16-representable (8+8+8 mantissa
+    bits), and 0/1 selectors are bf16-exact, so every partial product is
+    exact and the f32 accumulation is as precise as XLA's HIGHEST 6-pass
+    emulation at half the passes. With one nonzero per row (a one-hot
+    join) the result is BIT-equal to the gather it replaces. This matmul
+    is what dominates the replay backward (profiled: ~60% of the grad
+    step at HIGHEST), so the pass count is the wall clock.
+    """
+    oh = onehot.astype(jnp.bfloat16)
+    out = None
+    x = table
+    for _ in range(3):
+        part = x.astype(jnp.bfloat16)
+        term = jnp.dot(oh, part, preferred_element_type=jnp.float32)
+        out = term if out is None else out + term
+        x = x - part.astype(jnp.float32)
+    return out
+
+
+@jax.custom_vjp
+def _join_exact(onehot, table):
+    return _exact_onehot_mm(onehot, table)
+
+
+def _join_exact_fwd(onehot, table):
+    return _exact_onehot_mm(onehot, table), onehot
+
+
+def _join_exact_bwd(onehot, g):
+    # d(table) = onehot^T @ g with the same exact 3-pass split (of g this
+    # time); the selector comes from the int tape and takes no cotangent.
+    # The [R, N] residual only lives inside one checkpointed scan step.
+    return jnp.zeros_like(onehot), _exact_onehot_mm(onehot.T, g)
+
+
+_join_exact.defvjp(_join_exact_fwd, _join_exact_bwd)
+
+
 def _joined_hit_recorded(scene: Scene, origin, direction, rec_idx):
     """JoinedHit for the RECORDED winner (packed index: spheres then
     planes, -1 = miss) — differentiable, no search, no gathers."""
     hit = rec_idx >= 0
     num_s, num_p = scene.num_spheres, scene.num_planes
     n = num_s + num_p
-
-    hp = jax.lax.Precision.HIGHEST
 
     # checkpoint the one-hot join: without it, reverse mode saves every
     # bounce's [R, N] selector as a scan residual — 12 GB at 512x384
@@ -105,7 +144,7 @@ def _joined_hit_recorded(scene: Scene, origin, direction, rec_idx):
     @jax.checkpoint
     def _join(table, idx_row):
         onehot = (idx_row[:, None] == jnp.arange(n)[None, :]).astype(jnp.float32)
-        return jnp.matmul(onehot, table, precision=hp)
+        return _join_exact(onehot, table)
 
     rec = _join(_recorded_join_table(scene), rec_idx)  # [R, 35]
 
