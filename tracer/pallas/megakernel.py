@@ -80,6 +80,9 @@ RR_MIN_P = 0.05  # Russian-roulette survival floor (caps 1/p at 20x)
 # bounce, so per-fetch bytes (3 x TEX_BH x 128 x 4B) dominate the loop.
 TEX_BH = 32
 TEX_SLOTS = 16
+# persistent-loop body unroll: >1 amortizes the while-loop's scalar
+# overhead (cond reduction + branch) over several bounces per iteration
+PERSIST_UNROLL = 4
 
 _U = jnp.uint32
 
@@ -1432,6 +1435,14 @@ def _kernel(
             put3(F_F, fin)
             seed_ref[...] = seed
             return jnp.sum((s < spp_f).astype(jnp.int32))
+
+        if PERSIST_UNROLL > 1:
+            inner = body
+
+            def body(remaining):
+                for _ in range(PERSIST_UNROLL):
+                    remaining = inner(remaining)
+                return remaining
 
         jax.lax.while_loop(cond, body, jnp.sum(valid.astype(jnp.int32)))
         # one more fold: the final sample of each lane ended inside the
