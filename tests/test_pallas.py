@@ -334,13 +334,22 @@ def test_record_with_big_texture():
             scene, cam, w, h, 2, 4, interpret=True, persistent=False, tile_px=128
         )
     )
-    fb, idx = megakernel.render_frame_pallas_record(
+    fb, idx, tex = megakernel.render_frame_pallas_record(
         scene, cam, w, h, 2, 4, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(fb), plain)
+    assert tex.shape == (2, 4, w * h, 3)
 
     from tracer.pallas import replay
 
+    # replay via the recorded texture-multiplier tape (no gathers): must
+    # reproduce the kernel radiance
+    rep_t = np.asarray(replay.render_frame_replay(
+        scene, cam, idx, w, h, 2, 4, tex_tape=tex))
+    np.testing.assert_allclose(rep_t, np.asarray(fb), atol=1e-5)
+
+    # replay via live texture sampling must agree too (the tape records
+    # exactly what the sampler computes)
     rep = np.asarray(replay.render_frame_replay(scene, cam, idx, w, h, 2, 4))
     np.testing.assert_allclose(rep, np.asarray(fb), atol=1e-5)
 

@@ -294,14 +294,23 @@ def scene_grads_replay_sharded(
             record_idx=True, row_offset=row0,
         )
 
-    fb, idx = jax.shard_map(
+    has_tex = scene.textures is not None
+    rec_out_specs = (P(AXIS), P(None, None, AXIS))
+    if has_tex:  # textured records also emit the texture-multiplier tape
+        rec_out_specs = rec_out_specs + (P(None, None, AXIS, None),)
+    rec_out = jax.shard_map(
         rec_body, mesh=mesh, in_specs=(P(), P()),
-        out_specs=(P(AXIS), P(None, None, AXIS)),
+        out_specs=rec_out_specs,
         check_vma=False,
     )(scene, cam)
+    if has_tex:
+        fb, idx, tex = rec_out
+    else:
+        fb, idx = rec_out
+        tex = None
 
     def loss_fn(scene):
-        def band_loss(scene, cam, idx, tgt):
+        def band_loss(scene, cam, idx, tgt, *tex_arg):
             # idx/tgt arrive sharded (already device-varying); only the
             # replicated scene/camera need the varying cast
             scene, cam = jax.tree.map(to_varying, (scene, cam))
@@ -310,16 +319,22 @@ def scene_grads_replay_sharded(
             fbr = replay.render_pixels_replay(
                 scene, cam, i, j, base, idx, spp, max_depth,
                 chunk=min(renderer.DEFAULT_CHUNK, rows * width),
+                tex_tape=tex_arg[0] if tex_arg else None,
             ).reshape(rows, width, 3)
             valid = ((row0 + jnp.arange(rows)) < height).astype(jnp.float32)
             d = (fbr / spp - tgt) * valid[:, None, None]
             return jax.lax.psum(jnp.sum(d * d), AXIS)
 
+        in_specs = (P(), P(), P(None, None, AXIS), P(AXIS))
+        args = (scene, cam, idx, tpad)
+        if has_tex:
+            in_specs = in_specs + (P(None, None, AXIS, None),)
+            args = args + (tex,)
         l = jax.shard_map(
             band_loss, mesh=mesh,
-            in_specs=(P(), P(), P(None, None, AXIS), P(AXIS)),
+            in_specs=in_specs,
             out_specs=P(),
-        )(scene, cam, idx, tpad)
+        )(*args)
         return l / (height * width * 3)
 
     loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(scene)

@@ -32,27 +32,70 @@ from tracer.render import renderer
 # ----------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _render_replay_diff(scene, cam, width, height, spp, max_depth,
-                        reference_quirk=True):
-    fb, _ = megakernel.render_frame_pallas_record(
+def _record(scene, cam, width, height, spp, max_depth, reference_quirk):
+    out = megakernel.render_frame_pallas_record(
         scene, cam, width, height, spp, max_depth,
         reference_quirk=reference_quirk,
         interpret=jax.default_backend() == "cpu",
     )
+    # textured scenes also record the per-bounce texture multipliers
+    # (fb, idx, tex); untextured return (fb, idx)
+    if len(out) == 3:
+        return out
+    return out + (None,)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _render_replay_diff(scene, cam, width, height, spp, max_depth,
+                        reference_quirk=True):
+    fb, _, _ = _record(scene, cam, width, height, spp, max_depth, reference_quirk)
     return fb
 
 
 def _replay_fwd(scene, cam, width, height, spp, max_depth, reference_quirk):
-    fb, idx = megakernel.render_frame_pallas_record(
-        scene, cam, width, height, spp, max_depth,
-        reference_quirk=reference_quirk,
-        interpret=jax.default_backend() == "cpu",
-    )
-    return fb, (scene, cam, idx)
+    fb, idx, tex = _record(scene, cam, width, height, spp, max_depth,
+                           reference_quirk)
+    return fb, (scene, cam, idx, tex)
 
 
 def _replay_bwd(width, height, spp, max_depth, reference_quirk, residuals, g):
+    from tracer.pallas import replay
+
+    scene, cam, idx, tex = residuals
+
+    def replay_render(scene, cam):
+        return replay.render_frame_replay(
+            scene, cam, idx, width, height, spp, max_depth,
+            reference_quirk=reference_quirk,
+            chunk=min(renderer.DEFAULT_CHUNK, width * height),
+            tex_tape=tex,
+        )
+
+    _, vjp = jax.vjp(replay_render, scene, cam)
+    return vjp(g)
+
+
+# "replay-sample" — replay backward with LIVE texture sampling instead of
+# the recorded multiplier tape: slower (per-ray gathers) but keeps the
+# d(texture)/d(uv) geometry term the tape freezes out. Material gradients
+# are identical between the two.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _render_replay_sample_diff(scene, cam, width, height, spp, max_depth,
+                               reference_quirk=True):
+    fb, _, _ = _record(scene, cam, width, height, spp, max_depth, reference_quirk)
+    return fb
+
+
+def _replay_sample_fwd(scene, cam, width, height, spp, max_depth, reference_quirk):
+    fb, idx, _ = _record(scene, cam, width, height, spp, max_depth,
+                         reference_quirk)
+    return fb, (scene, cam, idx)
+
+
+def _replay_sample_bwd(width, height, spp, max_depth, reference_quirk,
+                       residuals, g):
     from tracer.pallas import replay
 
     scene, cam, idx = residuals
@@ -66,6 +109,9 @@ def _replay_bwd(width, height, spp, max_depth, reference_quirk, residuals, g):
 
     _, vjp = jax.vjp(replay_render, scene, cam)
     return vjp(g)
+
+
+_render_replay_sample_diff.defvjp(_replay_sample_fwd, _replay_sample_bwd)
 
 
 _render_replay_diff.defvjp(_replay_fwd, _replay_bwd)
@@ -109,6 +155,18 @@ _render_remat_diff.defvjp(_remat_fwd, _remat_bwd)
 
 def render_frame_diff(scene, cam, width, height, spp, max_depth,
                       reference_quirk=True, mode="replay"):
-    """Raw sample sums [H, W, 3]; forward = Pallas, backward = `mode`."""
-    fn = _render_replay_diff if mode == "replay" else _render_remat_diff
+    """Raw sample sums [H, W, 3]; forward = Pallas, backward = `mode`.
+
+    mode="replay" (default): the fast backward. On textured scenes the
+    recorded texture-multiplier tape replaces in-replay sampling —
+    material gradients are exact, but geometry gradients on textured
+    surfaces lose the d(texel)/d(uv) term (the texel value is frozen at
+    the recorded hit). mode="replay-sample" keeps that term via live
+    bilinear sampling (texture IMAGE still stop-gradded; much slower on
+    TPU — per-ray gathers). mode="remat" is the full oracle including
+    texture-image gradients.
+    """
+    fn = {"replay": _render_replay_diff,
+          "replay-sample": _render_replay_sample_diff,
+          "remat": _render_remat_diff}[mode]
     return fn(scene, cam, width, height, spp, max_depth, reference_quirk)

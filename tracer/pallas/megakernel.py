@@ -902,7 +902,7 @@ def _sample_texture(texr_ref, texg_ref, texb_ref, u, v, th, tw):
 
 def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg, to_px,
            pu=None, pv=None, tex_refs=None, flat=None, big_tex=None, ps=None,
-           rr_start=None, depth=None, rec_rows=1):
+           rr_start=None, depth=None, rec_rows=1, want_tex_mult=False):
     # `to_px` reshapes a flat (1, T) intersection row into the kernel's
     # pixel-tile shape (identity for 128-px tiles, (1,1024)->(8,128) for
     # big tiles so shading runs at full sublane utilization).
@@ -954,9 +954,9 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
             tr, tg, tb = _tex_demand_fetch(
                 big_tex, u_all, v_all, textured, flat, to_px, ps
             )
-            al0 = al0 * jnp.where(textured, tr, 1.0)
-            al1 = al1 * jnp.where(textured, tg, 1.0)
-            al2 = al2 * jnp.where(textured, tb, 1.0)
+            tm0 = jnp.where(textured, tr, 1.0)
+            tm1 = jnp.where(textured, tg, 1.0)
+            tm2 = jnp.where(textured, tb, 1.0)
         else:
             th, tw = tex_refs[0].shape
 
@@ -967,11 +967,15 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
                 m0 = jnp.where(textured, to_px(tr), 1.0)
                 m1 = jnp.where(textured, to_px(tg), 1.0)
                 m2 = jnp.where(textured, to_px(tb), 1.0)
-                return al0 * m0, al1 * m1, al2 * m2
+                return m0, m1, m2
 
-            al0, al1, al2 = jax.lax.cond(
-                jnp.any(textured), apply_tex, lambda: (al0, al1, al2)
+            ones = jnp.ones_like(al0)
+            tm0, tm1, tm2 = jax.lax.cond(
+                jnp.any(textured), apply_tex, lambda: (ones, ones, ones)
             )
+        al0, al1, al2 = al0 * tm0, al1 * tm1, al2 * tm2
+    else:
+        tm0 = tm1 = tm2 = None
 
     # miss -> background (camera.cu:226-229)
     miss = alive & ~hit
@@ -1095,7 +1099,15 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
         b0, b1, b2 = b0 * scale, b1 * scale, b2 * scale
         live = live & ~kill
 
-    return (ox, oy, oz), (dx, dy, dz), (b0, b1, b2), (f0, f1, f2), seed, live
+    out = (ox, oy, oz), (dx, dy, dz), (b0, b1, b2), (f0, f1, f2), seed, live
+    if want_tex_mult:
+        # per-bounce texture multipliers for the recording tape (the
+        # replay consumes them instead of re-gathering texels — XLA
+        # per-ray texture gathers measured ~10x the whole grad step)
+        ones = jnp.ones_like(t_best)
+        return out + (((tm0, tm1, tm2) if tm0 is not None
+                       else (ones, ones, ones)),)
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -1146,11 +1158,15 @@ def _kernel(
         scratch_refs = tuple(refs[-2:])  # state (f32), seed (u32)
         del refs[-2:]
     idx_ref = None
+    textape_ref = None
     if record_idx:
         assert not (clustered or sample_block > 1)
         # persistent recording scatters by per-lane (sample, depth) slot;
         # 128-px tiles keep the tape row dim == lane dim relayout-free
         assert not persistent or tile_px == 128
+        if has_tex:
+            textape_ref = refs.pop()  # [3*spp*max_depth, tile] f32
+            textape_ref[...] = jnp.ones(textape_ref.shape, jnp.float32)
         idx_ref = refs.pop()  # second output: [spp*max_depth, tile] i32
         idx_ref[...] = jnp.full(idx_ref.shape, -1, jnp.int32)
     tex_refs = None
@@ -1420,12 +1436,26 @@ def _kernel(
                 add = jnp.where(took, jnp.broadcast_to(val1, (rows, 128)), 0)
                 idx_ref[...] = idx_ref[...] + add
 
-            o3, d3, beta, fin, seed, alive = _shade(
+            shade_out = _shade(
                 rec, t_best, ox, oy, oz, dx, dy, dz, a, (b0, b1, b2),
                 (f0, f1, f2), seed, alive, (bgr, bgg, bgb), to_px,
                 pu=pu, pv=pv, tex_refs=tex_refs, flat=flat, big_tex=big, ps=ps,
                 rr_start=rr_start, depth=depth,
+                want_tex_mult=textape_ref is not None,
             )
+            if textape_ref is not None:
+                o3, d3, beta, fin, seed, alive2, tms = shade_out
+                # same masked-accumulate scatter as the index tape: the
+                # tape starts at 1.0 and a visited slot adds (tm - 1)
+                rows = spp * max_depth
+                for c in range(3):
+                    sl = slice(c * rows, (c + 1) * rows)
+                    add_c = jnp.where(
+                        took, jnp.broadcast_to(tms[c] - 1.0, (rows, 128)), 0.0)
+                    textape_ref[sl, :] = textape_ref[sl, :] + add_c
+                alive = alive2
+            else:
+                o3, d3, beta, fin, seed, alive = shade_out
             put(F_S, s)
             put(F_DEPTH, depth + 1.0)
             put(F_ALIVE, jnp.where(alive, 1.0, 0.0))
@@ -1552,12 +1582,20 @@ def _kernel(
                 val = jnp.where(hit_r, widx, -1)
                 idx_ref[pl.ds(s * max_depth + depth, 1), :] = val
 
-            o3, d3, beta, final, seed, alive = _shade(
+            shade_out = _shade(
                 rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed,
                 alive, (bgr, bgg, bgb), to_px,
                 pu=pu, pv=pv, tex_refs=tex_refs, flat=flat, big_tex=big, ps=ps,
                 rr_start=rr_start, depth=depth,
+                want_tex_mult=textape_ref is not None,
             )
+            if textape_ref is not None:
+                o3, d3, beta, final, seed, alive, tms = shade_out
+                rows = spp * max_depth
+                for c in range(3):
+                    textape_ref[pl.ds(c * rows + s * max_depth + depth, 1), :] = tms[c]
+            else:
+                o3, d3, beta, final, seed, alive = shade_out
             return (depth + 1, o3, d3, beta, final, seed, alive.astype(jnp.int32))
 
         st = (jnp.int32(0), (ox, oy, oz), (dx, dy, dz), beta, final, seed,
@@ -1992,6 +2030,13 @@ def _render_frame_impl(
             out_shape,
             jax.ShapeDtypeStruct((rows, grid * tile_px), jnp.int32),
         ]
+        if has_tex:
+            # per-bounce texture multipliers (channel-major rows): the
+            # replay applies these instead of re-gathering texels
+            out_specs.append(pl.BlockSpec((3 * rows, tile_px), lambda g: (0, g),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((3 * rows, grid * tile_px), jnp.float32))
 
     out = pl.pallas_call(
         kernel,
@@ -2004,10 +2049,20 @@ def _render_frame_impl(
     )(*inputs)
 
     if record_idx:
-        out, idx = out
+        if has_tex:
+            out, idx, textape = out
+        else:
+            out, idx, textape = out + (None,)
         fb = jnp.transpose(out[:, :num_pixels]).reshape(height, width, 3)
         # [spp, max_depth, num_pixels] winner indices for the replay VJP
-        return fb, idx[:, :num_pixels].reshape(spp, max_depth, num_pixels)
+        idx = idx[:, :num_pixels].reshape(spp, max_depth, num_pixels)
+        if textape is None:
+            return fb, idx
+        # [spp, max_depth, num_pixels, 3] texture multipliers
+        tex = jnp.moveaxis(
+            textape.reshape(3, spp, max_depth, grid * tile_px)[..., :num_pixels],
+            0, -1)
+        return fb, idx, tex
 
     fb = out[:, :num_pixels]  # [3, N]
     return jnp.transpose(fb).reshape(height, width, 3)

@@ -219,13 +219,30 @@ def render_pixels_replay(
     sample_start: int = 0,
     strat_sqrt_spp: int = 0,
     remat_samples: bool = True,
+    diff_textures: bool = False,
+    tex_tape=None,
 ):
     """Raw sample sums [N, 3] by replaying the recorded index tape.
 
     Mirrors renderer.render_pixels exactly (same seeds, rays, chunking),
     with the per-bounce intersection replaced by the recorded gather.
     idx: [spp, max_depth, N] i32.
+
+    diff_textures=False (default) stops gradients at the texture IMAGE:
+    its cotangent is a per-texel scatter-add over millions of texels,
+    which measured ~30x slower than the whole rest of the backward.
+    Every other parameter (incl. the albedo that the texture modulates)
+    keeps exact gradients; texture-image gradients remain available
+    through the remat oracle (diff.render_frame_diff(mode="remat")) or
+    diff_textures=True.
     """
+    if scene.textures is not None and not diff_textures:
+        scene = scene._replace(textures=jax.lax.stop_gradient(scene.textures))
+    if tex_tape is not None:
+        # the recorded per-bounce multipliers replace in-replay texture
+        # sampling entirely (and are constants of the tape — no image
+        # gradient; use diff_textures/remat for that)
+        tex_tape = jax.lax.stop_gradient(tex_tape)
     n = i_flat.shape[0]
     chunk = min(chunk, n)
     pad = (-n) % chunk
@@ -234,11 +251,14 @@ def render_pixels_replay(
         j_flat = jnp.pad(j_flat, (0, pad))
         base_seed = jnp.pad(base_seed, (0, pad))
         idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)), constant_values=-1)
+        if tex_tape is not None:
+            tex_tape = jnp.pad(tex_tape, ((0, 0), (0, 0), (0, pad), (0, 0)),
+                               constant_values=1.0)
     num_chunks = (n + pad) // chunk
 
     sqrt_spp = (strat_sqrt_spp or int(round(spp ** 0.5))) if stratify else 0
 
-    def one_sample(i, j, base, s, idx_s):
+    def one_sample(i, j, base, s, idx_s, tex_s):
         seed = rng.sample_seed(base, s)
         seed, origin, direction = camera_mod.get_rays(
             cam, i, j, seed, sample_index=s if stratify else None, sqrt_spp=sqrt_spp
@@ -248,15 +268,18 @@ def render_pixels_replay(
         alive = seed == seed
         carry = (origin, direction, beta, final, seed, alive)
 
-        def body(carry, idx_row):
+        def body(carry, xs):
+            idx_row, tex_row = xs
             fn = lambda sc, o, d, _i: _joined_hit_recorded(sc, o, d, idx_row)
+            sc = scene._replace(textures=None) if tex_row is not None else scene
             return (
-                integrator._bounce(scene, cam.background, carry, None,
-                                   joined_hit_fn=fn),
+                integrator._bounce(sc, cam.background, carry, None,
+                                   joined_hit_fn=fn, tex_mult=tex_row),
                 None,
             )
 
-        carry, _ = jax.lax.scan(body, carry, idx_s)  # idx_s: [D, chunk]
+        xs = (idx_s, tex_s)  # idx_s: [D, chunk]; tex_s: [D, chunk, 3] or None
+        carry, _ = jax.lax.scan(body, carry, xs)
         return carry[3]
 
     if remat_samples:
@@ -266,18 +289,18 @@ def render_pixels_replay(
         one_sample = jax.checkpoint(one_sample)
 
     def per_chunk(args):
-        i, j, base, idx_c = args  # idx_c: [spp, D, chunk]
+        i, j, base, idx_c, tex_c = args  # idx_c: [spp, D, chunk]
 
         def body(acc, xs):
-            s, idx_s = xs
-            return acc + one_sample(i, j, base, s, idx_s), None
+            s, idx_s, tex_s = xs
+            return acc + one_sample(i, j, base, s, idx_s, tex_s), None
 
         # zeros_like(base): under shard_map the per-pixel seeds are always
         # device-varying (i alone may not be — row-band sharding varies
         # only j), and the scan carry must match the body's vma type
         acc0 = jnp.zeros_like(base, dtype=jnp.float32, shape=(chunk, 3))
         samples = jnp.arange(spp, dtype=jnp.uint32) + jnp.uint32(sample_start)
-        acc, _ = jax.lax.scan(body, acc0, (samples, idx_c))
+        acc, _ = jax.lax.scan(body, acc0, (samples, idx_c, tex_c))
         return acc
 
     i_c = i_flat.reshape(num_chunks, chunk)
@@ -287,14 +310,18 @@ def render_pixels_replay(
     idx_c = jnp.moveaxis(
         idx.reshape(spp, max_depth, num_chunks, chunk), 2, 0
     )
-    fb = jax.lax.map(per_chunk, (i_c, j_c, seed_c, idx_c)).reshape(-1, 3)
+    tex_c = (jnp.moveaxis(
+        tex_tape.reshape(spp, max_depth, num_chunks, chunk, 3), 2, 0)
+        if tex_tape is not None else None)
+    fb = jax.lax.map(per_chunk, (i_c, j_c, seed_c, idx_c, tex_c)).reshape(-1, 3)
     return fb[:n]
 
 
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "reference_quirk",
-                     "chunk", "stratify", "strat_sqrt_spp", "remat_samples"),
+                     "chunk", "stratify", "strat_sqrt_spp", "remat_samples",
+                     "diff_textures"),
 )
 def render_frame_replay(
     scene: Scene,
@@ -310,13 +337,21 @@ def render_frame_replay(
     sample_start: int = 0,
     strat_sqrt_spp: int = 0,
     remat_samples: bool = True,
+    diff_textures: bool = False,
+    tex_tape=None,
 ):
     """Replayed frame render; must reproduce the recording forward's
-    radiance (same streams, same branches — validated in tests)."""
+    radiance (same streams, same branches — validated in tests).
+
+    tex_tape ([spp, max_depth, N, 3], from render_frame_pallas_record on
+    a textured scene) replaces in-replay texture sampling with the
+    multipliers the forward kernel actually used — exact parity and no
+    per-ray gathers."""
     i_flat, j_flat, base_seed = renderer.pixel_grid(width, height, reference_quirk)
     fb = render_pixels_replay(
         scene, cam, i_flat, j_flat, base_seed, idx, spp, max_depth,
         chunk=chunk, stratify=stratify, sample_start=sample_start,
         strat_sqrt_spp=strat_sqrt_spp, remat_samples=remat_samples,
+        diff_textures=diff_textures, tex_tape=tex_tape,
     )
     return fb.reshape(height, width, 3)

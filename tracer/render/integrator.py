@@ -73,7 +73,7 @@ def _joined_hit(scene: Scene, origin, direction, intersector: str):
 
 
 def _bounce(scene: Scene, background, carry, intersector: str, rng_mode: str = "fixed",
-            joined_hit_fn=None, rr_start=None, depth=None):
+            joined_hit_fn=None, rr_start=None, depth=None, tex_mult=None):
     origin, direction, beta, final, seed, alive = carry
 
     # joined_hit_fn lets callers swap the O(prims) search for a recorded
@@ -88,8 +88,13 @@ def _bounce(scene: Scene, background, carry, intersector: str, rng_mode: str = "
     active = alive & rec.hit
 
     # Texture-modulated albedo (camera.cu:233-236 / :269-271).
+    # tex_mult ([R, 3]) short-circuits the sampler with a RECORDED
+    # multiplier (tracer.pallas.replay's tape) — per-ray texture gathers
+    # and their scatter-add transposes are glacial on TPU.
     albedo = rec.albedo
-    if scene.textures is not None:
+    if tex_mult is not None:
+        albedo = jnp.where((rec.tex_id >= 0)[..., None], albedo * tex_mult, albedo)
+    elif scene.textures is not None:
         tex_rgb = texture_mod.sample_bilinear(scene.textures, rec.tex_id, rec.u, rec.v)
         albedo = jnp.where((rec.tex_id >= 0)[..., None], albedo * tex_rgb, albedo)
 
