@@ -237,6 +237,67 @@ def _measure() -> int:
     except Exception as e:
         print(f"2000-sphere bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # 5. BASELINE config 4: textured floor + 500-sphere field, 1080x720,
+    #    64 spp, differentiable — fwd+bwd via the texture-multiplier tape.
+    #    Last: this is the heaviest config and the one that has crashed
+    #    the tunneled worker before; earlier lines are already printed.
+    try:
+        import jax
+        import jax.numpy as jnp
+        from tracer.pallas import diff as pallas_diff
+        from tracer.scene import types as T
+
+        cw, ch, cspp, cdepth = 1080, 720, 64, 8
+        g = np.random.default_rng(11)
+        cn = 500
+        cradii = g.uniform(0.3, 0.95, size=(cn,)).astype(np.float32)
+        cgx, cgy = np.meshgrid(np.arange(25), np.arange(20), indexing="ij")
+        ccell = np.stack([cgx.ravel() * 2.0 - 24.0, cgy.ravel() * 2.0 - 19.0], -1)
+        ccenters = np.zeros((cn, 3), np.float32)
+        ccenters[:, :2] = ccell + g.uniform(-1, 1, (cn, 2)) * (1.0 - cradii - 0.02)[:, None]
+        ccenters[:, 2] = cradii + 0.05 + g.uniform(0, 5, cn)
+        cmats = T.make_materials(
+            mtype=np.array([T.METAL, T.LAMBERTIAN, T.DIFFUSE_LIGHT], np.int32),
+            fuzz=np.array([0.1, 0, 0], np.float32), ir=np.ones(3, np.float32),
+            absorption=np.zeros((3, 3), np.float32),
+            albedo=np.array([[0.9, 0.9, 0.9], [0.6, 0.4, 0.3], [0, 0, 0]], np.float32),
+            emit=np.array([[0, 0, 0], [0, 0, 0], [9, 8, 7]], np.float32),
+            tex_id=np.array([0, -1, -1], np.int32))
+        cfg4 = T.Scene(
+            spheres=T.make_spheres(ccenters, cradii,
+                                   (1 + np.arange(cn) % 2).astype(np.int32)),
+            planes=T.make_planes(
+                np.array([T.QUAD], np.int32), np.array([[-40, -40, 0]], np.float32),
+                np.array([[80, 0, 0]], np.float32), np.array([[0, 80, 0]], np.float32),
+                np.array([0], np.int32)),
+            materials=cmats,
+            textures=jnp.asarray(_floor_texture_loader(None))[None], bvh=None)
+
+        def cfg4_cam(k):
+            ang = 0.08 * k
+            return camera_mod.build_camera_data(
+                origin=[55 * np.cos(ang), 55 * np.sin(ang), 22], look_at=[0, 0, 2],
+                width=cw, height=ch, vfov=50.0)
+
+        def cfg4_loss(scene, cam):
+            fb = pallas_diff.render_frame_diff(scene, cam, cw, ch, cspp, cdepth)
+            return jnp.mean(fb * fb)
+
+        cfg4_grad = jax.jit(jax.grad(cfg4_loss, allow_int=True))
+        probe2 = jax.jit(lambda x: x[0, 0])
+
+        def run_cfg4(cam):
+            gr = cfg4_grad(cfg4, cam)
+            float(probe2(gr.materials.albedo))
+            return gr
+
+        best = _time_frames(run_cfg4, cfg4_cam)
+        _emit("fwdbwd_textured_mrays_per_s", cw * ch * cspp / best / 1e6,
+              {"engine": "pallas+replay+textape",
+               "shape": f"{cw}x{ch}x{cspp}spp d{cdepth}", "spheres": cn})
+    except Exception as e:
+        print(f"config-4 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     return 0
 
 
