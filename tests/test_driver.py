@@ -91,6 +91,25 @@ class TestCliSubprocess:
         assert r.returncode == 2
         assert "bad config" in r.stderr
 
+    def test_flag_wiring_rr_fastmath_png(self, tmp_path):
+        """--rr/--fast-math/--pallas/--format png wire through main() to a
+        rendered frame (in-process; CPU interpret mode)."""
+        from tracer import cli as cli_mod
+
+        cfg = config.smoke_config_text().replace("200 100 90", "24 16 90")
+        cfg = cfg.replace("test_output_%d.png", str(tmp_path / "f_%d.png"))
+        cfg_path = tmp_path / "c.cfg"
+        cfg_path.write_text(cfg)
+        rc = cli_mod.main([
+            "--cpu", "--config", str(cfg_path), "--pallas", "--fast-math",
+            "--rr", "2", "--format", "png", "--frames", "1",
+        ])
+        assert rc == 0
+        from PIL import Image
+
+        im = Image.open(tmp_path / "f_0.png")
+        assert im.size == (24, 16)
+
 
 class TestStratifiedSampling:
     def test_offsets_confined_to_cells(self):
