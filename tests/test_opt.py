@@ -95,3 +95,47 @@ class TestFitPallasEngine:
             log_every=0, spp=SPP, max_depth=DEPTH, engine="pallas",
         )
         assert losses[-1] < losses[0] * 0.5, losses
+
+
+class TestTexturedFit:
+    def test_textured_albedo_recovers_pallas(self):
+        """Inverse rendering on a TEXTURED scene through the pallas
+        record+replay engine (texture-multiplier tape)."""
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        g = np.random.default_rng(0)
+        tex = jnp.asarray(g.uniform(0.2, 1.0, (1, 64, 96, 3)).astype(np.float32))
+
+        def make(albedo0):
+            mats = T.make_materials(
+                [T.METAL, T.LAMBERTIAN, T.DIFFUSE_LIGHT],
+                [0.05, 0, 0], [1, 1, 1], np.zeros((3, 3)),
+                [[0.9, 0.9, 0.9], list(albedo0), [0, 0, 0]],
+                [[0, 0, 0], [0, 0, 0], [9, 8, 7]], [0, -1, -1],
+            )
+            spheres = T.make_spheres([[0.4, -0.3, 1.2], [4, 3, 6]], [1.2, 1.0], [1, 2])
+            planes = T.make_planes([T.QUAD], [[-12, -12, 0]], [[24, 0, 0]],
+                                   [[0, 24, 0]], [0])
+            return T.Scene(spheres, planes, mats, tex, None)
+
+        import jax as _jax
+
+        # big enough that the sphere subtends real pixels — tiny frames
+        # leave the loss noise-dominated
+        fw, fh = 64, 48
+        cam = C.build_camera_data([9, -9, 5], [0, 0, 1.2], fw, fh, 55.0,
+                                  background=(0.05, 0.05, 0.1))
+        from tracer.pallas import megakernel
+
+        true_scene = make([0.2, 0.7, 0.4])
+        fb = megakernel.render_frame_pallas(true_scene, cam, fw, fh, 2, 4,
+                                            interpret=True)
+        target = np.asarray(fb) / 2
+        init = make([0.6, 0.3, 0.6])
+        _, losses = fit_mod.fit(
+            init, cam, target, fw, fh, spp=2, max_depth=4,
+            param_paths=("materials.albedo",), steps=8, learning_rate=3e-2,
+            engine="pallas", log_every=0)
+        assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])

@@ -83,7 +83,11 @@ def render_loss_fn(
     target = jnp.asarray(np.asarray(target), jnp.float32)
     chunk = chunk or min(renderer.DEFAULT_CHUNK, width * height)
 
-    def loss(params, target=target):
+    def loss(params, target=target, scene=scene):
+        # scene is overridable so fit() can pass ALL its leaves as jit
+        # arguments — the non-optimized ones (textures especially: tens
+        # of MB) otherwise embed as closure constants, which the same
+        # backend bug reads with a permuted layout
         s = apply_params(scene, params)
         if engine == "pallas":
             from tracer.pallas import diff as pallas_diff
@@ -156,16 +160,16 @@ def fit(
         log(f"resumed from {checkpoint_path} at step {start_step}")
 
     @jax.jit
-    def update(params, opt_state, target):
-        # target is a jit ARGUMENT, never a closure constant — see the
-        # layout-miscompile note in render_loss_fn.
-        loss, grads = jax.value_and_grad(loss_fn)(params, target)
+    def update(params, opt_state, target, scene):
+        # target AND the scene are jit ARGUMENTS, never closure
+        # constants — see the layout-miscompile note in render_loss_fn.
+        loss, grads = jax.value_and_grad(loss_fn)(params, target, scene)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     losses = []
     for step in range(start_step, steps):
-        params, opt_state, loss = update(params, opt_state, target_arg)
+        params, opt_state, loss = update(params, opt_state, target_arg, scene)
         losses.append(float(loss))
         if log_every and step % log_every == 0:
             log(f"step {step}\tloss {float(loss):.6g}")
