@@ -252,3 +252,35 @@ class TestTexturedReplayGrads:
         assert float(np.abs(np.asarray(g_rep.textures)).max()) == 0.0
         assert float(np.abs(np.asarray(g_smp.textures)).max()) == 0.0
         assert float(np.abs(np.asarray(g_rem.textures)).max()) > 0.0
+
+
+class TestMaskedBranchNaN:
+    def test_refract_grad_finite_at_exact_grazing(self):
+        """ir=1 + grazing incidence makes refract's sqrt argument exactly
+        0; the masked-out dielectric branch then multiplies a REAL zero
+        cotangent into the infinite sqrt derivative (0*inf = NaN), which
+        poisoned every geometry gradient at high ray counts until the
+        gradient-safe sqrt. Pin the mechanism directly."""
+        from tracer.core import vec
+
+        uv = jnp.asarray([[1.0, 0.0, 0.0]])  # perpendicular to n: grazing
+        n = jnp.asarray([[0.0, 0.0, 1.0]])
+
+        def f(ir):
+            out = vec.refract(uv, n, ir)
+            # masked-out consumer: the where VJP sends a real zero
+            # cotangent through refract
+            masked = jnp.where(jnp.zeros((1, 1), bool), out, 0.0)
+            return jnp.sum(masked) + 0.0 * jnp.sum(out)
+
+        g = jax.grad(f)(jnp.float32(1.0))
+        assert np.isfinite(float(g)), g
+
+    def test_length_grad_finite_at_zero(self):
+        from tracer.core import vec
+
+        def f(v):
+            return jnp.sum(jnp.where(False, vec.length(v), 0.0))
+
+        g = jax.grad(f)(jnp.zeros((4, 3), jnp.float32))
+        assert np.isfinite(np.asarray(g)).all()

@@ -26,9 +26,32 @@ def length_squared(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(v * v, axis=-1)
 
 
+@jax.custom_jvp
+def _sqrt_grad_safe(x):
+    """sqrt with a bounded derivative at 0.
+
+    Forward is bit-identical to jnp.sqrt. The true derivative diverges at
+    x = 0, and the masked-branch pattern `where(mask, a, f(sqrt(x)))`
+    multiplies a REAL zero cotangent into that infinity — 0 * inf = NaN —
+    whenever any lane's x lands exactly on 0. refract hits 0 exactly for
+    every grazing ray once ir = 1 (i.e. on ALL non-dielectric materials,
+    whose masked-out dielectric branch still gets differentiated), which
+    silently poisoned every geometry gradient at high ray counts.
+    """
+    return jnp.sqrt(x)
+
+
+@_sqrt_grad_safe.defjvp
+def _sqrt_grad_safe_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = jnp.sqrt(x)
+    return y, dx / (2.0 * jnp.maximum(y, 1e-12))
+
+
 def length(v: jnp.ndarray) -> jnp.ndarray:
-    """reference: include/vec3.h:55 (len)"""
-    return jnp.sqrt(length_squared(v))
+    """reference: include/vec3.h:55 (len); gradient bounded at |v| = 0
+    (dead/masked lanes would otherwise poison gradients via 0 * inf)."""
+    return _sqrt_grad_safe(length_squared(v))
 
 
 def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -72,6 +95,6 @@ def refract(uv: jnp.ndarray, n: jnp.ndarray, etai_over_etat: jnp.ndarray) -> jnp
     eta = jnp.asarray(etai_over_etat)[..., None]
     r_out_perp = eta * (uv + cos_theta[..., None] * n)
     r_out_parallel = (
-        -jnp.sqrt(jnp.abs(1.0 - length_squared(r_out_perp)))[..., None] * n
+        -_sqrt_grad_safe(jnp.abs(1.0 - length_squared(r_out_perp)))[..., None] * n
     )
     return r_out_perp + r_out_parallel
