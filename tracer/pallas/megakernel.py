@@ -1822,7 +1822,10 @@ def render_frame_pallas_record(
     sample_start=0, persistent=True,
 ):
     """Forward render that ALSO records the per-bounce winner primitive
-    index: returns (fb [H,W,3], idx [spp, max_depth, H*W] i32, -1=miss).
+    index: returns (fb [H,W,3], idx [spp, max_depth, H*W] i32, -1=miss);
+    textured scenes additionally return the texture-multiplier tape
+    (fb, idx, tex [spp, max_depth, H*W, 3]) so the replay never has to
+    gather texels.
 
     The index tape is what makes the fast backward possible: the replay
     VJP (tracer.pallas.replay) re-shades each bounce differentiably by
