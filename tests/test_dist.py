@@ -311,3 +311,48 @@ class TestPallasSharded:
             if jnp.issubdtype(a.dtype, jnp.floating):
                 tol = 1e-5 * max(1.0, float(np.abs(np.asarray(b)).max()))
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=tol)
+
+    def test_sharded_replay_grads_textured(self, mesh):
+        """Textured sharded fast-gradient step: the record under
+        shard_map also emits the texture-multiplier tape (extra out_spec)
+        and the replay consumes it per band. Loss/grads must match the
+        sharded XLA path on every leaf except the texture image (whose
+        gradient the tape deliberately stops)."""
+        import io as _io
+
+        import jax.numpy as jnp
+
+        from tracer.scene import builders, config
+        from tracer.render import renderer as R
+
+        params = config.read_scene_params(_io.StringIO(config.smoke_config_text()))
+        scene = builders.create_scene(params, with_bvh=False,
+                                      texture_loader=lambda _: None)
+        g = np.random.default_rng(3)
+        tex = jnp.asarray(g.uniform(0.2, 1.0, (1, 40, 56, 3)).astype(np.float32))
+        tid = np.asarray(scene.materials.tex_id).copy()
+        tid[0] = 0
+        scene = scene._replace(
+            textures=tex,
+            materials=scene.materials._replace(tex_id=jnp.asarray(tid)))
+        w, h, spp, depth = 32, 16, 2, 3
+        cam = C.build_camera_data([-15.0, 0.0, 4.5], [0.0, 4.5, 0.0], w, h, 90.0)
+        target = np.asarray(
+            R.render_frame(scene, cam, w, h, spp=spp, max_depth=depth, chunk=w * h)
+        ) / spp * 0.9
+        l_ref, g_ref = sharding.scene_grads_sharded(
+            scene, cam, target, w, h, spp, depth, mesh
+        )
+        l_new, g_new = sharding.scene_grads_replay_sharded(
+            scene, cam, jnp.asarray(target), w, h, spp, depth, mesh, interpret=True
+        )
+        np.testing.assert_allclose(float(l_new), float(l_ref), rtol=1e-5)
+        # compare everything except the texture image (tape stops it) and
+        # geometry leaves on textured surfaces (frozen-texel convention)
+        np.testing.assert_allclose(
+            np.asarray(g_new.materials.albedo), np.asarray(g_ref.materials.albedo),
+            atol=1e-5 * max(1.0, float(np.abs(np.asarray(g_ref.materials.albedo)).max())))
+        np.testing.assert_allclose(
+            np.asarray(g_new.materials.emit), np.asarray(g_ref.materials.emit),
+            atol=1e-5 * max(1.0, float(np.abs(np.asarray(g_ref.materials.emit)).max())))
+        assert float(np.abs(np.asarray(g_new.textures)).max()) == 0.0
