@@ -139,3 +139,51 @@ class TestTexturedFit:
             param_paths=("materials.albedo",), steps=8, learning_rate=3e-2,
             engine="pallas", log_every=0)
         assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+
+class TestCameraFit:
+    def test_camera_origin_recovers(self):
+        """param_paths entries "camera.*" + cam_spec optimize the camera:
+        the loss rebuilds the look-at basis differentiably each step.
+
+        The scene needs a SMOOTH radiance dependence on the camera for
+        the straight-through gradient to be informative (path radiance is
+        piecewise-constant in geometry otherwise) — a ramp-textured floor
+        provides it: moving the camera slides the texels under every
+        floor-hitting path.
+        """
+        import jax.numpy as jnp
+
+        ramp = np.zeros((1, 32, 32, 3), np.float32)
+        ramp[0, :, :, 0] = np.linspace(0.1, 1.0, 32)[None, :]
+        ramp[0, :, :, 1] = np.linspace(1.0, 0.1, 32)[:, None]
+        ramp[0, :, :, 2] = 0.5
+        scene = _scene()
+        tid = np.asarray(scene.materials.tex_id).copy()
+        tid[1] = 0  # floor material textured
+        scene = scene._replace(
+            textures=jnp.asarray(ramp),
+            materials=scene.materials._replace(tex_id=jnp.asarray(tid)))
+
+        fw, fh = 48, 32  # straight-through camera grads need the smooth
+        # (texture-slide) term to dominate the discrete silhouette jumps:
+        # enough pixels, small initial offset, gentle steps
+        true_origin = [4.0, -4.0, 2.5]
+        base = dict(look_at=[0.0, 0.0, 1.0], vfov=60.0,
+                    background=(0.1, 0.1, 0.2))
+        cam_true = C.build_camera_data(true_origin, base["look_at"], fw, fh,
+                                       60.0, background=base["background"])
+        target = np.asarray(renderer.render_frame(
+            scene, cam_true, fw, fh, spp=SPP, max_depth=DEPTH, chunk=fw * fh)) / SPP
+
+        spec0 = dict(base, origin=[4.06, -3.95, 2.54])
+        cam0 = C.build_camera_data(spec0["origin"], base["look_at"], fw, fh,
+                                   60.0, background=base["background"])
+        fitted, losses, fitted_spec = fit_mod.fit(
+            scene, cam0, target, fw, fh, spp=SPP, max_depth=DEPTH,
+            param_paths=("camera.origin",), cam_spec=spec0, steps=30,
+            learning_rate=1e-3, log_every=0)
+        # the camera gradient must pull the loss down substantially; the
+        # piecewise-smooth landscape (silhouette jumps) makes the LAST
+        # iterate oscillate, so pin the best-reached loss
+        assert min(losses) < losses[0] * 0.5, (losses[0], min(losses))

@@ -66,12 +66,19 @@ def render_loss_fn(
     max_depth: int,
     chunk: Optional[int] = None,
     engine: str = "xla",
+    cam_spec: Optional[Dict] = None,
 ) -> Callable:
     """L2 image loss as a function of a params dict.
 
     engine="pallas" uses the fused megakernel for the forward pass with
     the XLA renderer as the rematerialized backward (tracer.pallas.diff)
     — faster iterations on TPU, identical gradients.
+
+    `cam_spec` (dict with "origin"/"look_at" and optionally "vfov",
+    "vup", "background") enables CAMERA parameters in the params dict:
+    keys prefixed "camera." override the spec and the camera is rebuilt
+    differentiably inside the loss (gradients flow through the look-at
+    basis and the viewport — camera.cu:171-196 math).
     """
     # Host round-trip the target before it's captured in the closure.
     # On the tunneled TPU backend, a pallas-produced device array embedded
@@ -83,19 +90,29 @@ def render_loss_fn(
     target = jnp.asarray(np.asarray(target), jnp.float32)
     chunk = chunk or min(renderer.DEFAULT_CHUNK, width * height)
 
-    def loss(params, target=target, scene=scene):
-        # scene is overridable so fit() can pass ALL its leaves as jit
-        # arguments — the non-optimized ones (textures especially: tens
-        # of MB) otherwise embed as closure constants, which the same
-        # backend bug reads with a permuted layout
-        s = apply_params(scene, params)
+    def loss(params, target=target, scene=scene, cam_spec=cam_spec):
+        # scene/cam_spec are overridable so fit() can pass ALL leaves as
+        # jit arguments — the non-optimized ones (textures especially:
+        # tens of MB) otherwise embed as closure constants, which the
+        # same backend bug reads with a permuted layout
+        cam_l = cam
+        if cam_spec is not None:
+            spec = dict(cam_spec)
+            for k, v in params.items():
+                if k.startswith("camera."):
+                    spec[k[len("camera."):]] = v
+            cam_l = camera_mod.build_camera_data(
+                width=width, height=height, **spec)
+        s = apply_params(
+            scene, {k: v for k, v in params.items()
+                    if not k.startswith("camera.")})
         if engine == "pallas":
             from tracer.pallas import diff as pallas_diff
 
-            fb = pallas_diff.render_frame_diff(s, cam, width, height, spp, max_depth)
+            fb = pallas_diff.render_frame_diff(s, cam_l, width, height, spp, max_depth)
         else:
             fb = renderer.render_frame(
-                s, cam, width, height, spp=spp, max_depth=max_depth, chunk=chunk
+                s, cam_l, width, height, spp=spp, max_depth=max_depth, chunk=chunk
             )
         return jnp.mean((fb / spp - target) ** 2)
 
@@ -140,18 +157,35 @@ def fit(
     log_every: int = 10,
     log=print,
     engine: str = "xla",
+    cam_spec: Optional[Dict] = None,
 ):
     """Fit the named scene parameters to a target image.
 
-    Returns (fitted_scene, losses). If `checkpoint_path` exists, training
+    Returns (fitted_scene, losses), or (fitted_scene, losses,
+    fitted_cam_spec) when `cam_spec` is given. `cam_spec` (dict with
+    "origin", "look_at", optionally "vfov"/"vup"/"background") enables
+    camera fitting: include "camera.origin" / "camera.look_at" /
+    "camera.vfov" in param_paths. If `checkpoint_path` exists, training
     resumes from it (step counter, params, optimizer moments).
     """
+    param_paths = tuple(param_paths)
+    cam_keys = [p for p in param_paths if p.startswith("camera.")]
+    if cam_keys and cam_spec is None:
+        raise ValueError("camera.* param_paths require cam_spec")
+    if cam_spec is not None:
+        cam_spec = {k: (v if k in ("vfov",) else jnp.asarray(v, jnp.float32))
+                    for k, v in cam_spec.items()}
+        cam_spec.setdefault("vfov", camera_mod.DEFAULT_VFOV)
     loss_fn = render_loss_fn(scene, cam, target, width, height, spp, max_depth,
-                             engine=engine)
+                             engine=engine, cam_spec=cam_spec)
     target_arg = jnp.asarray(np.asarray(target), jnp.float32)
 
     opt = optax.adam(learning_rate)
-    params = extract_params(scene, param_paths)
+    params = extract_params(scene, [p for p in param_paths
+                                    if not p.startswith("camera.")])
+    for p in cam_keys:
+        key = p[len("camera."):]
+        params[p] = jnp.asarray(cam_spec[key], jnp.float32)
     opt_state = opt.init(params)
     start_step = 0
 
@@ -160,16 +194,19 @@ def fit(
         log(f"resumed from {checkpoint_path} at step {start_step}")
 
     @jax.jit
-    def update(params, opt_state, target, scene):
-        # target AND the scene are jit ARGUMENTS, never closure
-        # constants — see the layout-miscompile note in render_loss_fn.
-        loss, grads = jax.value_and_grad(loss_fn)(params, target, scene)
+    def update(params, opt_state, target, scene, cam_spec):
+        # target AND the scene/camera spec are jit ARGUMENTS, never
+        # closure constants — see the layout-miscompile note in
+        # render_loss_fn. loss overrides cam_spec entries with the
+        # corresponding "camera." params, so gradients flow to them.
+        loss, grads = jax.value_and_grad(loss_fn)(params, target, scene, cam_spec)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     losses = []
     for step in range(start_step, steps):
-        params, opt_state, loss = update(params, opt_state, target_arg, scene)
+        params, opt_state, loss = update(params, opt_state, target_arg, scene,
+                                         cam_spec)
         losses.append(float(loss))
         if log_every and step % log_every == 0:
             log(f"step {step}\tloss {float(loss):.6g}")
@@ -178,4 +215,11 @@ def fit(
 
     if checkpoint_path:
         save_checkpoint(checkpoint_path, steps, params, opt_state)
-    return apply_params(scene, params), losses
+    fitted_scene = apply_params(
+        scene, {k: v for k, v in params.items() if not k.startswith("camera.")})
+    if cam_spec is not None:
+        fitted_spec = dict(cam_spec)
+        fitted_spec.update({p[len("camera."):]: params[p]
+                            for p in params if p.startswith("camera.")})
+        return fitted_scene, losses, fitted_spec
+    return fitted_scene, losses
