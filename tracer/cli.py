@@ -173,17 +173,32 @@ def _run_fit(args, scene, params) -> int:
         origin=lookfrom, look_at=lookat, width=w, height=h,
         vfov=params.fov_degrees,
     )
-    fitted, losses = fit_mod.fit(
+    paths = tuple(p for p in args.fit_params.split(",") if p)
+    # "camera.*" params (pose/fov estimation): the config's frame-0
+    # camera position seeds the differentiable spec
+    cam_spec = None
+    if any(p.startswith("camera.") for p in paths):
+        cam_spec = dict(origin=lookfrom, look_at=lookat,
+                        vfov=float(params.fov_degrees))
+    out = fit_mod.fit(
         scene, cam, target, w, h,
         spp=spp, max_depth=params.render.max_depth,
-        param_paths=tuple(p for p in args.fit_params.split(",") if p),
+        param_paths=paths,
         steps=args.fit_steps, learning_rate=args.fit_lr,
         checkpoint_path=args.fit_checkpoint,
+        cam_spec=cam_spec,
     )
-    for path in args.fit_params.split(","):
-        if path:
+    if cam_spec is not None:
+        fitted, losses, fitted_spec = out
+    else:
+        fitted, losses = out
+        fitted_spec = None
+    for path in paths:
+        if path.startswith("camera."):
+            val = fitted_spec[path[len("camera."):]]
+        else:
             val = fit_mod.get_path(fitted, path)
-            print(f"{path} = {np.asarray(val).tolist()}")
+        print(f"{path} = {np.asarray(val).tolist()}")
     print(f"final loss: {losses[-1] if losses else float('nan'):.6g}")
     return 0
 
