@@ -75,8 +75,27 @@ def _time_frames(run, cam_at, nframes=3):
 
 
 def _measure() -> int:
+    fault = os.environ.get("TRACER_BENCH_FAULT")
+    if fault:  # test hook: die before any metric prints (resilience test)
+        raise RuntimeError(f"{fault}: injected fault (TRACER_BENCH_FAULT)")
+
     import jax
     import numpy as np
+
+    from tracer.utils import resilience
+
+    # First contact with the (possibly tunneled) backend is the step that
+    # lost the round-2 capture — a backend-init UNAVAILABLE killed the
+    # child before any metric printed. Retry it in-process; if jax has
+    # cached the failed backend the parent-level child retry still covers
+    # it (see main()).
+    resilience.retry_transient(
+        lambda: jax.block_until_ready(jax.numpy.zeros(8) + 1),
+        retries=int(os.environ.get("TRACER_BENCH_INIT_RETRIES", "2")),
+        backoff_s=float(os.environ.get("TRACER_BENCH_BACKOFF", "10")),
+        on_retry=lambda n, e: print(
+            f"backend warmup retry {n}: {type(e).__name__}", file=sys.stderr),
+    )
 
     probe = jax.jit(lambda x: x[0, 0, 0])  # 1-dispatch sync (see driver)
 
@@ -301,9 +320,30 @@ def _measure() -> int:
     return 0
 
 
+def _failsoft(reason: str) -> None:
+    """Emit a parseable zero-value headline line so BENCH_r{N}.json never
+    ends up metric-less (the round-2 capture was lost to exactly this:
+    a backend-init UNAVAILABLE killed the child pre-print and the parent
+    fail-softed only on TimeoutExpired)."""
+    print(
+        json.dumps(
+            {
+                "metric": "fwd_mrays_per_s",
+                "value": 0.0,
+                "unit": "Mrays/s",
+                "vs_baseline": 0.0,
+                "error": reason,
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> int:
     if os.environ.get("TRACER_BENCH_CHILD") == "1":
         return _measure()
+
+    from tracer.utils.resilience import TRANSIENT_MARKERS
 
     env = dict(os.environ, TRACER_BENCH_CHILD="1")
     # persistent compile cache: the tunneled TPU compiler is slow (the
@@ -311,34 +351,52 @@ def main() -> int:
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compilation_cache")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, timeout=CHILD_TIMEOUT_S, capture_output=True, text=True,
-        )
-        sys.stdout.write(r.stdout)
-        sys.stderr.write(r.stderr[-2000:])
-        if '"metric"' in r.stdout:
-            return 0
-        return r.returncode or 1
-    except subprocess.TimeoutExpired as e:
-        if e.stdout:
-            out = e.stdout.decode() if isinstance(e.stdout, bytes) else e.stdout
+
+    attempts = int(os.environ.get("TRACER_BENCH_RETRIES", "3"))
+    delay = float(os.environ.get("TRACER_BENCH_BACKOFF", "20"))
+    reason = "bench child produced no metric"
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=CHILD_TIMEOUT_S, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired as e:
+            out = e.stdout or ""
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
             if '"metric"' in out:  # child measured but hung on teardown
                 sys.stdout.write(out)
                 return 0
-        print(
-            json.dumps(
-                {
-                    "metric": "fwd_mrays_per_s",
-                    "value": 0.0,
-                    "unit": "Mrays/s",
-                    "vs_baseline": 0.0,
-                    "error": "accelerator backend unreachable (watchdog timeout)",
-                }
+            # A hang is as likely a dead tunnel as a real 40-min compile;
+            # don't retry (another CHILD_TIMEOUT_S would blow the round's
+            # bench budget) — fail soft immediately.
+            reason = "accelerator backend unreachable (watchdog timeout)"
+            break
+        if '"metric"' in r.stdout:
+            sys.stdout.write(r.stdout)
+            sys.stderr.write(r.stderr[-2000:])
+            return 0
+        # Child died before printing any metric. Retry iff the failure
+        # looks transient (same marker set the frame driver retries on).
+        tail = (r.stderr or "") + (r.stdout or "")
+        transient = any(m in tail for m in TRANSIENT_MARKERS)
+        reason = f"bench child exited rc={r.returncode} without a metric"
+        sys.stderr.write((r.stderr or "")[-2000:])
+        if transient and attempt < attempts - 1:
+            print(
+                f"transient bench failure (attempt {attempt + 1}/{attempts}); "
+                f"retrying in {delay:.0f}s",
+                file=sys.stderr,
             )
-        )
-        return 1
+            time.sleep(delay)
+            delay *= 2.0
+            continue
+        if transient:
+            reason += " (transient backend failure, retries exhausted)"
+        break
+    _failsoft(reason)
+    return 1
 
 
 if __name__ == "__main__":

@@ -151,3 +151,49 @@ class TestResilience:
         assert state["n"] == 2
         assert "transient backend failure" in err.getvalue()
         assert np.isfinite(np.asarray(fb)).all()
+
+
+class TestBenchFailsoft:
+    """bench.py must print a parseable metric line even when the child
+    dies before producing one (the round-2 capture was lost to a
+    backend-init UNAVAILABLE that hit the only un-handled path)."""
+
+    def _run_bench(self, extra_env):
+        import json
+        import os
+        import subprocess
+        import sys
+
+        env = dict(
+            os.environ,
+            TRACER_BENCH_RETRIES="2",
+            TRACER_BENCH_BACKOFF="0",
+            TRACER_BENCH_TIMEOUT="120",
+            **extra_env,
+        )
+        bench = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(bench)],
+            env=env, capture_output=True, text=True, timeout=180,
+        )
+        lines = [l for l in r.stdout.splitlines() if l.strip().startswith("{")]
+        assert lines, f"no JSON line in stdout; stderr tail: {r.stderr[-800:]}"
+        return r, [json.loads(l) for l in lines]
+
+    def test_child_death_pre_metric_still_prints_json(self):
+        # Non-transient fault: child dies immediately, no retries, but the
+        # parent must still print a parseable fail-soft headline line.
+        r, recs = self._run_bench({"TRACER_BENCH_FAULT": "boom"})
+        assert r.returncode == 1
+        assert recs[0]["metric"] == "fwd_mrays_per_s"
+        assert recs[0]["value"] == 0.0
+        assert "error" in recs[0]
+
+    def test_transient_child_death_is_retried(self):
+        # UNAVAILABLE is a transient marker: the parent should retry the
+        # child (attempt messages on stderr) before failing soft.
+        r, recs = self._run_bench({"TRACER_BENCH_FAULT": "UNAVAILABLE"})
+        assert r.returncode == 1
+        assert "transient" in r.stderr
+        assert recs[0]["value"] == 0.0
+        assert "retries exhausted" in recs[0]["error"]
