@@ -261,6 +261,48 @@ class TestPallasSharded:
         )
         np.testing.assert_array_equal(shard, single)
 
+    def test_rr_start_sharded_bit_identical(self, mesh):
+        """--rr on a mesh must actually apply Russian roulette (it was
+        silently dropped, advisor round-2 medium) and stay bit-identical
+        to the single-device engines — RR kill decisions are per-pixel
+        deterministic streams, invisible to the shard split."""
+        import io as _io
+
+        from tracer.pallas import megakernel
+        from tracer.scene import builders, config
+
+        params = config.read_scene_params(_io.StringIO(config.smoke_config_text()))
+        scene = builders.create_scene(params, with_bvh=False,
+                                      texture_loader=lambda _: None)
+        w, h = 64, 44
+        cam = C.build_camera_data([-15.0, 0.0, 4.5], [0.0, 4.5, 0.0], w, h, 90.0)
+        single = np.asarray(
+            megakernel.render_frame_pallas(
+                scene, cam, w, h, 2, 6, interpret=True, rr_start=2
+            )
+        )
+        norr = np.asarray(
+            megakernel.render_frame_pallas(
+                scene, cam, w, h, 2, 6, interpret=True
+            )
+        )
+        assert not np.array_equal(single, norr), "rr_start=2 must change rays"
+        shard = np.asarray(
+            sharding.render_frame_pallas_sharded(
+                scene, cam, w, h, 2, 6, mesh, interpret=True, rr_start=2
+            )
+        )
+        np.testing.assert_array_equal(shard, single)
+        xla_single = np.asarray(
+            renderer.render_frame(scene, cam, w, h, 2, 6, rr_start=2)
+        )
+        xla_shard = np.asarray(
+            sharding.render_frame_sharded(
+                scene, cam, w, h, 2, 6, mesh, rr_start=2
+            )
+        )
+        np.testing.assert_array_equal(xla_shard, xla_single)
+
     def test_driver_pallas_mesh(self, tmp_path):
         import io as _io
 

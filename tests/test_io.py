@@ -221,3 +221,17 @@ class TestThreadedWriter:
         with _pytest.raises(Exception):
             w.wait()
         w.close()
+
+    def test_close_joins_thread_on_error(self, tmp_path):
+        """close() must re-raise the worker error AND still shut the
+        worker thread down (advisor round-2 low: the sentinel was never
+        sent when wait() raised, leaking the daemon thread)."""
+        import pytest as _pytest
+
+        fb = np.ones((4, 4, 3), np.float32)
+        w = img.ThreadedWriter()
+        w.submit(str(tmp_path / "no" / "such" / "dir" / "f.png"), fb, 1, fmt="png")
+        with _pytest.raises(Exception):
+            w.close()
+        w._thread.join(timeout=5)
+        assert not w._thread.is_alive()

@@ -313,6 +313,37 @@ def test_culled_matches_legacy_clustered():
         np.testing.assert_array_equal(got, legacy)
 
 
+def test_culled_matches_legacy_with_padding_clusters():
+    """Cluster count NOT divisible by 8: the padded demand rows carry
+    empty (lo=+inf, hi=-inf) boxes that the slab test would classify
+    VISIBLE (per-axis min/max erases the inversion), making the loop
+    visit out-of-range cluster ids and corrupt the image (advisor
+    round-2 high finding). 30 spheres at k=16 -> 2 or 3 real clusters in
+    an 8-row padded demand table."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_scale import _big_scene
+
+    scene = _big_scene(30)._replace(bvh=None)
+    w, h = 32, 8
+    cam = C.build_camera_data([0, -40, 10], [0, 0, 2], w, h, 50.0,
+                              background=(0.2, 0.3, 0.5))
+    legacy = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=2, max_depth=3, interpret=True,
+            cluster_k=16, culled=False, persistent=False,
+        )
+    )
+    got = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=2, max_depth=3, interpret=True,
+            cluster_k=16, culled=True, persistent=False, cull_group=3,
+        )
+    )
+    np.testing.assert_array_equal(got, legacy)
+
+
 def test_record_with_big_texture():
     """Recording forward + HBM demand-paged texture compose (both extra
     output and texture scratch are live in one kernel)."""

@@ -46,7 +46,7 @@ def make_mesh(devices=None) -> Mesh:
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "mesh", "rng_mode", "stratify"),
+    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "mesh", "rng_mode", "stratify", "rr_start"),
 )
 def render_frame_sharded(
     scene: Scene,
@@ -61,6 +61,7 @@ def render_frame_sharded(
     chunk: int = renderer.DEFAULT_CHUNK,
     rng_mode: str = "fixed",
     stratify: bool = False,
+    rr_start=None,
 ):
     """Sharded frame render; returns [height, width, 3] raw sample sums.
 
@@ -95,7 +96,7 @@ def render_frame_sharded(
         return renderer.render_pixels(
             scene, cam, i, j, base, spp, max_depth,
             intersector=intersector, chunk=local_chunk,
-            rng_mode=rng_mode, stratify=stratify,
+            rng_mode=rng_mode, stratify=stratify, rr_start=rr_start,
         )
 
     fb = jax.shard_map(
@@ -109,7 +110,7 @@ def render_frame_sharded(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "mesh", "rng_mode", "stratify"),
+    static_argnames=("width", "height", "spp", "max_depth", "intersector", "reference_quirk", "chunk", "mesh", "rng_mode", "stratify", "rr_start"),
 )
 def render_frame_spp_sharded(
     scene: Scene,
@@ -124,6 +125,7 @@ def render_frame_spp_sharded(
     chunk: int = renderer.DEFAULT_CHUNK,
     rng_mode: str = "fixed",
     stratify: bool = False,
+    rr_start=None,
 ):
     """Sample-axis sharding (SURVEY.md §2 parallelism table): every device
     renders ALL pixels with a disjoint slice of the per-pixel sample
@@ -154,7 +156,7 @@ def render_frame_spp_sharded(
             scene, cam, i, j, base, local_spp, max_depth,
             intersector=intersector, chunk=min(chunk, i.shape[0]),
             sample_start=start, rng_mode=rng_mode, stratify=stratify,
-            strat_sqrt_spp=strat_sqrt,
+            strat_sqrt_spp=strat_sqrt, rr_start=rr_start,
         )
         return jax.lax.psum(part, AXIS)
 
@@ -171,7 +173,7 @@ def render_frame_spp_sharded(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "mesh",
                      "reference_quirk", "interpret", "tile_px", "stratify",
-                     "fast_math", "persistent"),
+                     "fast_math", "persistent", "rr_start"),
 )
 def render_frame_pallas_sharded(
     scene: Scene,
@@ -187,6 +189,7 @@ def render_frame_pallas_sharded(
     stratify: bool = False,
     fast_math: bool = False,
     persistent: bool = True,
+    rr_start=None,
 ):
     """Fused Pallas megakernel under shard_map: each device renders a
     contiguous band of image rows with its own pallas_call (round-2
@@ -218,6 +221,7 @@ def render_frame_pallas_sharded(
             scene, cam, width, rows, spp, max_depth, reference_quirk,
             interpret, 0, tile_px, stratify, None,
             fast_math=fast_math, persistent=persistent, row_offset=row0,
+            rr_start=rr_start,
         )
 
     fb = jax.shard_map(

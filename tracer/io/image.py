@@ -131,6 +131,11 @@ class ThreadedWriter:
             raise err
 
     def close(self) -> None:
-        self.wait()
-        self._q.put(None)
-        self._thread.join()
+        # Shut the worker down even when wait() re-raises a write error
+        # (otherwise the sentinel is never sent and the daemon thread
+        # leaks — advisor round-2 low finding).
+        try:
+            self.wait()
+        finally:
+            self._q.put(None)
+            self._thread.join()

@@ -577,6 +577,13 @@ def _intersect_culled(
         jnp.minimum(jnp.maximum(tz1, tz2), K_INFINITY),
     )
     vis = jnp.max(jnp.where(tmax > tmin, 1.0, 0.0), axis=1, keepdims=True)
+    # Padding rows (lo=+inf, hi=-inf boxes) pass the slab test above —
+    # the per-axis min/max erases the lo/hi inversion — so mask them out
+    # explicitly or the loop would visit out-of-range cluster ids and
+    # dynamic-slice proj/const/join across the hi/lo halves whenever
+    # num_clusters % 8 != 0 (advisor round-2 high finding).
+    crow = jax.lax.broadcasted_iota(jnp.int32, vis.shape, 0)
+    vis = vis * (crow < num_clusters).astype(jnp.float32)
     demand_ref[...] = jnp.broadcast_to(vis, demand_ref.shape)
 
     # ---- init the running winner (same layout as _intersect_clustered)
@@ -1995,7 +2002,7 @@ def _render_frame_impl(
             )
             inputs = inputs + chans
             # ANY keeps the texture in HBM; the kernel DMAs blocks on demand
-            in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+            in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)] * 3
         else:
             inputs = inputs + (tex[:, :, 0], tex[:, :, 1], tex[:, :, 2])
             in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3

@@ -130,6 +130,7 @@ def render_animation(
                             reference_quirk=reference_quirk,
                             interpret=jax.default_backend() == "cpu",
                             stratify=stratify, fast_math=fast_math,
+                            rr_start=rr_start,
                         )
                     else:
                         fb_dev = megakernel.render_frame_pallas(
@@ -154,6 +155,7 @@ def render_animation(
                     params.render.max_depth, mesh,
                     intersector=intersector, reference_quirk=reference_quirk,
                     chunk=chunk, rng_mode=rng_mode, stratify=stratify,
+                    rr_start=rr_start,
                 )
             else:
                 fb_dev = renderer.render_frame(
@@ -196,6 +198,7 @@ def render_animation(
         else:
             writer(filename, fb, saver_divisor)
     if async_writer is not None:
-        async_writer.wait()
+        # close() drains + re-raises worker errors AND always joins the
+        # thread (a separate wait() first would skip cleanup on error)
         async_writer.close()
     return fb
