@@ -188,6 +188,25 @@ def _measure() -> int:
                             lambda k: cam_at(k, gw, gh))
         _emit("fwdbwd_mrays_per_s", gw * gh * gspp / best / 1e6,
               {"engine": "pallas+replay", "shape": f"{gw}x{gh}x{gspp}spp d{gdepth}"})
+
+        # 3b. fwd+bwd with Russian roulette (round 3: rr composes with
+        #     record/replay — kill decisions are recomputed in the replay)
+        def loss_rr(scene, cam):
+            fb = pallas_diff.render_frame_diff(scene, cam, gw, gh, gspp, gdepth,
+                                               rr_start=3)
+            return jnp.mean(fb * fb)
+
+        grad_rr = jax.jit(jax.grad(loss_rr, allow_int=True))
+
+        def run_grad_rr(cam):
+            g = grad_rr(scene_untex, cam)
+            float(g.materials.albedo[0, 0])
+            return g
+
+        best = _time_frames(run_grad_rr, lambda k: cam_at(k, gw, gh))
+        _emit("fwdbwd_rr_mrays_per_s", gw * gh * gspp / best / 1e6,
+              {"engine": "pallas+replay", "rr_start": 3,
+               "shape": f"{gw}x{gh}x{gspp}spp d{gdepth}"})
     except Exception as e:
         print(f"fwd+bwd bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 

@@ -207,6 +207,48 @@ class TestReplayVJP:
                 tol = 1e-5 * max(1.0, float(np.abs(bn).max()))
                 np.testing.assert_allclose(an, bn, atol=tol, rtol=1e-4)
 
+    def test_rr_record_replay(self):
+        """rr_start composes with record/replay (round 3): the recorded
+        forward with RR must match the plain RR forward, the replay must
+        reproduce it (kill decisions recomputed from the streams, never
+        misread as background misses), and replay gradients must match
+        the remat oracle differentiating the same RR estimator."""
+        from tracer.pallas import diff as pdiff
+        from tracer.pallas import megakernel, replay
+
+        scene = _scene()
+        rr = 2
+        plain = megakernel.render_frame_pallas(
+            scene, _cam(), W, H, SPP, DEPTH, interpret=True, rr_start=rr
+        )
+        fb, idx = megakernel.render_frame_pallas_record(
+            scene, _cam(), W, H, SPP, DEPTH, interpret=True, rr_start=rr
+        )
+        np.testing.assert_array_equal(np.asarray(fb), np.asarray(plain))
+        norr = megakernel.render_frame_pallas(
+            scene, _cam(), W, H, SPP, DEPTH, interpret=True
+        )
+        assert not np.array_equal(np.asarray(plain), np.asarray(norr)), \
+            "rr_start must actually kill paths at this depth"
+        fb_rep = replay.render_frame_replay(
+            scene, _cam(), idx, W, H, SPP, DEPTH, rr_start=rr
+        )
+        np.testing.assert_allclose(np.asarray(fb_rep), np.asarray(fb), atol=1e-5)
+
+        def loss(scene, mode):
+            fbd = pdiff.render_frame_diff(scene, _cam(), W, H, SPP, DEPTH,
+                                          mode=mode, rr_start=rr)
+            return jnp.sum(fbd * fbd) / (W * H * SPP)
+
+        g_rep = jax.grad(lambda s: loss(s, "replay"), allow_int=True)(scene)
+        g_rem = jax.grad(lambda s: loss(s, "remat"), allow_int=True)(scene)
+        for a, b in zip(jax.tree_util.tree_leaves(g_rep),
+                        jax.tree_util.tree_leaves(g_rem)):
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                an, bn = np.asarray(a), np.asarray(b)
+                tol = 1e-5 * max(1.0, float(np.abs(bn).max()))
+                np.testing.assert_allclose(an, bn, atol=tol, rtol=1e-4)
+
 
 class TestTexturedReplayGrads:
     def test_textured_replay_grads_match_remat(self):
@@ -284,3 +326,116 @@ class TestMaskedBranchNaN:
 
         g = jax.grad(f)(jnp.zeros((4, 3), jnp.float32))
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestKernelBackward:
+    """Round-3 fused Pallas backward (tracer.pallas.bwd): the whole
+    gradient step in one kernel must reproduce the XLA replay's
+    gradients (same tape, same gradient definition) on every leaf."""
+
+    def _cmp(self, g_k, g_r, atol_scale=1e-5):
+        for a, b in zip(jax.tree_util.tree_leaves(g_k),
+                        jax.tree_util.tree_leaves(g_r)):
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                an, bn = np.asarray(a), np.asarray(b)
+                tol = atol_scale * max(1.0, float(np.abs(bn).max()))
+                np.testing.assert_allclose(an, bn, atol=tol, rtol=1e-4)
+
+    def test_scene_grads_match_replay(self):
+        from tracer.pallas import diff as pdiff
+
+        scene = _scene()
+
+        def loss(scene, mode):
+            fb = pdiff.render_frame_diff(scene, _cam(), W, H, SPP, DEPTH,
+                                         mode=mode)
+            return jnp.sum(fb * fb) / (W * H * SPP)
+
+        g_k = jax.grad(lambda s: loss(s, "replay-kernel"), allow_int=True)(scene)
+        g_r = jax.grad(lambda s: loss(s, "replay"), allow_int=True)(scene)
+        self._cmp(g_k, g_r)
+
+    def test_camera_grads_match_replay(self):
+        from tracer.pallas import diff as pdiff
+
+        scene = _scene()
+
+        def loss(cam, mode):
+            fb = pdiff.render_frame_diff(scene, cam, W, H, SPP, DEPTH,
+                                         mode=mode)
+            return jnp.sum(fb * fb) / (W * H * SPP)
+
+        g_k = jax.grad(lambda c: loss(c, "replay-kernel"))(_cam())
+        g_r = jax.grad(lambda c: loss(c, "replay"))(_cam())
+        self._cmp(g_k, g_r)
+
+    def test_rr_grads_match_replay(self):
+        from tracer.pallas import diff as pdiff
+
+        scene = _scene()
+
+        def loss(scene, mode):
+            fb = pdiff.render_frame_diff(scene, _cam(), W, H, SPP, DEPTH,
+                                         mode=mode, rr_start=2)
+            return jnp.sum(fb * fb) / (W * H * SPP)
+
+        g_k = jax.grad(lambda s: loss(s, "replay-kernel"), allow_int=True)(scene)
+        g_r = jax.grad(lambda s: loss(s, "replay"), allow_int=True)(scene)
+        self._cmp(g_k, g_r)
+
+    def test_textured_grads_match_replay(self):
+        from tracer.pallas import diff as pdiff
+
+        scene = _scene()
+        g = np.random.default_rng(5)
+        tex = g.uniform(0.2, 1.0, size=(1, 40, 56, 3)).astype(np.float32)
+        mats = scene.materials
+        tex_id = np.asarray(mats.tex_id).copy()
+        tex_id[0] = 0
+        scene = scene._replace(
+            textures=jnp.asarray(tex),
+            materials=mats._replace(tex_id=jnp.asarray(tex_id)),
+        )
+
+        def loss(scene, mode):
+            fb = pdiff.render_frame_diff(scene, _cam(), W, H, SPP, DEPTH,
+                                         mode=mode)
+            return jnp.mean(fb * fb)
+
+        g_k = jax.grad(lambda s: loss(s, "replay-kernel"), allow_int=True)(scene)
+        g_r = jax.grad(lambda s: loss(s, "replay"), allow_int=True)(scene)
+        self._cmp(g_k, g_r)
+        # the tape semantics stop the texture-image gradient, both modes
+        assert float(np.abs(np.asarray(g_k.textures)).max()) == 0.0
+
+    def test_kernel_forward_replay_matches_record(self):
+        """The kernel's in-flight forward replay (a free output) must
+        reproduce the recorded framebuffer — same joins, same _shade."""
+        from tracer.pallas import bwd, megakernel
+
+        scene = _scene()
+        fb, idx = megakernel.render_frame_pallas_record(
+            scene, _cam(), W, H, SPP, DEPTH, interpret=True
+        )
+        gz = jnp.zeros((H, W, 3), jnp.float32)
+        _, _, fb_re = bwd.scene_cam_grads(
+            scene, _cam(), idx, gz, W, H, SPP, DEPTH, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(fb_re), np.asarray(fb),
+                                   atol=1e-5)
+
+    def test_kernel_grads_finite_differences(self):
+        """FD pin directly on the fused-kernel gradients (sphere z and
+        albedo — the same probes TestSceneGradients uses)."""
+        from tracer.pallas import diff as pdiff
+
+        def loss_at(cz):
+            scene = _scene(center_z=cz)
+            fb = pdiff.render_frame_diff(scene, _cam(), W, H, SPP, DEPTH,
+                                         mode="replay-kernel")
+            return jnp.sum(fb * fb) / (W * H * SPP)
+
+        g = jax.grad(loss_at)(jnp.float32(1.0))
+        eps = 1e-3
+        fd = (loss_at(jnp.float32(1.0 + eps)) - loss_at(jnp.float32(1.0 - eps))) / (2 * eps)
+        np.testing.assert_allclose(float(g), float(fd), rtol=2e-2)

@@ -1,0 +1,479 @@
+"""Fused Pallas backward: replay the tape and hand-accumulate cotangents.
+
+Round-3 design (docs/ROADMAP.md "Round-3 design sketch"): the XLA replay
+backward is fragmentation-bound (~30 small fusions per bounce step,
+~100 us/step — neither chunk size nor matmul precision moves it), so the
+fix is the same move that won the forward: fuse the WHOLE gradient step
+into one Pallas kernel per 128-pixel tile.
+
+Per tile, per sample:
+  forward replay — regenerate the primary ray from the deterministic
+  seed streams (bit-identical to the recording kernel,
+  tracer/pallas/kernels.py), then for each bounce join the RECORDED
+  winner from the index tape with a one-hot MXU matmul (never a per-ray
+  gather), recompute its hit parameter t differentiably from the joined
+  geometry (the reference hit math, sphere.h / plane.h:58-70, via the
+  same conventions as tracer.pallas.replay._joined_hit_recorded), and
+  run the shared in-kernel scatter `_shade` under `jax.vjp`.
+  reverse    — walk the recorded bounce chain backwards, feeding each
+  bounce's state cotangent into its VJP; per-bounce table cotangents
+  transpose through the one-hot join as d(table) += g_rec @ onehot^T
+  (an MXU matmul per bounce into a VMEM accumulator — the transpose of a
+  matmul is a matmul, MXU both ways). Camera cotangents flow through the
+  primary-ray VJP; the background through each bounce's miss term.
+
+The per-bounce chain rules are not hand-derived: `jax.vjp` inside the
+kernel body transposes the very ops the forward kernel runs (including
+Russian roulette's 1/p throughput scaling), so the gradient definition
+is identical to the XLA replay's by construction — tests pin both
+against the remat oracle and finite differences.
+
+Outputs are accumulated across the (sequential) TPU grid into single
+blocks: d(join-table) [JROWS, Npad], d(geo-table) [GROWS, Npad],
+d(camera rows) [16, 128], plus the replayed frame (a free validation
+artifact). Scene cotangents come back through `jax.vjp` of the
+differentiable table packing (pack_bwd_tables) — the same linearization
+trick the XLA replay uses for its join table.
+
+Textured scenes consume the recorded texture-multiplier tape (albedo
+rows are pre-scaled by the frozen multipliers before _shade), matching
+the XLA replay's default tape semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tracer.core import vec
+from tracer.render import camera as camera_mod
+from tracer.scene.types import K_INFINITY, Scene
+from tracer.pallas.kernel_lib import (
+    DENOM_EPS, JROWS, T_MIN, T_MAX,
+    J_ALB0, J_CX, J_CY, J_CZ, J_IR, J_ISSPH, J_NX, J_NY, J_NZ, J_RAD,
+    _U, _rand, _round_up, _shade, _wang_hash,
+)
+
+GROWS = 8  # aux geometry rows: 0 = plane d (the join table lacks it)
+G_PD = 0
+CAMV_ROWS = 16  # p00(0:3) du(3:6) dv(6:9) origin(9:12) background(12:15)
+
+
+def pack_bwd_tables(scene: Scene):
+    """[JROWS, Npad] join + [GROWS, Npad] geo tables, differentiably.
+
+    The join rows mirror kernel_lib.pack_scene's join exactly (so the
+    in-kernel `_shade` consumes the joined record unchanged); built with
+    plain jnp ops so `jax.vjp` of this function maps table cotangents
+    back onto the Scene pytree.
+    """
+    sph, pla = scene.spheres, scene.planes
+    num_s, num_p = scene.num_spheres, scene.num_planes
+    n = num_s + num_p
+    n_pad = _round_up(max(n, 8), 8)
+
+    join = jnp.zeros((JROWS, n_pad), jnp.float32)
+    mats = scene.materials
+    if num_s:
+        join = join.at[J_CX, :num_s].set(sph.center[:, 0])
+        join = join.at[J_CY, :num_s].set(sph.center[:, 1])
+        join = join.at[J_CZ, :num_s].set(sph.center[:, 2])
+        join = join.at[J_RAD, :num_s].set(sph.radius)
+        join = join.at[J_ISSPH, :num_s].set(1.0)
+    if num_p:
+        sl = slice(num_s, n)
+        join = join.at[J_RAD, sl].set(1.0)  # div-safe placeholder
+        join = join.at[J_NX, sl].set(pla.normal[:, 0])
+        join = join.at[J_NY, sl].set(pla.normal[:, 1])
+        join = join.at[J_NZ, sl].set(pla.normal[:, 2])
+    join = join.at[J_RAD, n:].set(1.0)
+    midx = jnp.concatenate(
+        ([sph.material_idx] if num_s else []) + ([pla.material_idx] if num_p else [])
+    )
+    from tracer.pallas.kernel_lib import J_MTYPE, J_TEXID
+
+    mat_rows = jnp.stack(
+        [
+            mats.mtype[midx].astype(jnp.float32),
+            mats.fuzz[midx],
+            mats.ir[midx],
+            mats.absorption[midx, 0],
+            mats.absorption[midx, 1],
+            mats.absorption[midx, 2],
+            mats.albedo[midx, 0],
+            mats.albedo[midx, 1],
+            mats.albedo[midx, 2],
+            mats.emit[midx, 0],
+            mats.emit[midx, 1],
+            mats.emit[midx, 2],
+        ]
+    )
+    join = join.at[J_MTYPE : J_MTYPE + 12, :n].set(mat_rows)
+    join = join.at[J_TEXID, :].set(-1.0)
+    join = join.at[J_TEXID, :n].set(mats.tex_id[midx].astype(jnp.float32))
+
+    geo = jnp.zeros((GROWS, n_pad), jnp.float32)
+    if num_p:
+        geo = geo.at[G_PD, num_s:n].set(pla.d)
+    return join, geo
+
+
+def _dot_hi(a, b, dims):
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _bwd_kernel(
+    params_ref,   # SMEM [1, 24]: slots 15/16 = row_offset / sample_start
+    camv_ref,     # VMEM [16, 128]: camera param broadcast rows
+    joinT_ref,    # VMEM [JROWS, Npad]
+    geoT_ref,     # VMEM [GROWS, Npad]
+    idx_ref,      # VMEM [spp*D, 128] i32 tape block for this tile
+    gfb_ref,      # VMEM [3, 128] loss cotangent block for this tile
+    *refs,
+    spp: int,
+    max_depth: int,
+    width: int,
+    num_pixels: int,
+    quirk: bool,
+    rr_start,
+    strat_k: int,
+    has_textape: bool,
+):
+    refs = list(refs)
+    textape_ref = refs.pop(0) if has_textape else None
+    djoin_ref, dgeo_ref, dcam_ref, fb_ref = refs
+
+    pid = pl.program_id(0)
+    n_pad = joinT_ref.shape[1]
+
+    @pl.when(pid == 0)
+    def _init():
+        djoin_ref[...] = jnp.zeros_like(djoin_ref)
+        dgeo_ref[...] = jnp.zeros_like(dgeo_ref)
+        dcam_ref[...] = jnp.zeros_like(dcam_ref)
+
+    fb_ref[...] = jnp.zeros_like(fb_ref)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    lin = pid * 128 + lane
+    valid = lin < num_pixels
+    lin = jnp.minimum(lin, num_pixels - 1)
+    row0 = params_ref[0, 15].astype(jnp.int32)
+    samp0 = params_ref[0, 16].astype(jnp.int32)
+    i_int = lin % width
+    j_int = lin // width + row0
+    i_px = i_int.astype(jnp.float32)
+    j_px = j_int.astype(jnp.float32)
+    iu = (lin + row0 * width).astype(_U)
+    base_lin = (i_int.astype(_U) * _U(width) + j_int.astype(_U)) if quirk else iu
+    base_seed = _wang_hash(base_lin)
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 128), 0)
+    cam_rows = tuple(camv_ref[i : i + 1, :] for i in range(12))
+    bg_rows = tuple(camv_ref[12 + c : 13 + c, :] for c in range(3))
+    kf = jnp.float32(strat_k) if strat_k else None
+    g0 = jnp.zeros((1, 128), jnp.float32)
+
+    def sample_body(s, carry):
+        # ---- primary ray: the recording kernel's exact streams --------
+        s_g = (s + samp0).astype(jnp.float32)
+        seed_r = _wang_hash(base_seed + (s + samp0).astype(_U))
+        seed_r, ux = _rand(seed_r)
+        seed_r, uy = _rand(seed_r)
+        if strat_k:
+            cell_x = jnp.mod(s_g, kf)
+            cell_y = jnp.floor(s_g / kf)
+            offx = (cell_x + ux) / kf - 0.5
+            offy = (cell_y + uy) / kf - 0.5
+        else:
+            offx = ux - 0.5
+            offy = uy - 0.5
+
+        def gen(p00x, p00y, p00z, dux, duy, duz, dvx, dvy, dvz, ox0, oy0, oz0):
+            pcx = p00x + i_px * dux + j_px * dvx
+            pcy = p00y + i_px * duy + j_px * dvy
+            pcz = p00z + i_px * duz + j_px * dvz
+            rdx = pcx + offx * dux + offy * dvx - ox0
+            rdy = pcy + offx * duy + offy * dvy - oy0
+            rdz = pcz + offx * duz + offy * dvz - oz0
+            return ox0, oy0, oz0, rdx, rdy, rdz
+
+        prim, gen_vjp = jax.vjp(gen, *cam_rows)
+        ox, oy, oz, dx, dy, dz = prim
+        ox = jnp.broadcast_to(ox, (1, 128))
+        oy = jnp.broadcast_to(oy, (1, 128))
+        oz = jnp.broadcast_to(oz, (1, 128))
+        state = (ox, oy, oz, dx, dy, dz,
+                 jnp.ones((1, 128), jnp.float32), jnp.ones((1, 128), jnp.float32),
+                 jnp.ones((1, 128), jnp.float32),
+                 g0, g0, g0)
+        alive = valid
+        seed = seed_r
+
+        vjps = []
+        for d in range(max_depth):
+            idx_row = idx_ref[pl.ds(s * max_depth + d, 1), :]
+            hit = idx_row >= 0
+            onehot = ((iota_n == jnp.broadcast_to(idx_row, (n_pad, 128)))
+                      ).astype(jnp.float32)
+            join_rec = _dot_hi(joinT_ref[...], onehot, ((1,), (0,)))
+            geo_rec = _dot_hi(geoT_ref[...], onehot, ((1,), (0,)))
+            if has_textape:
+                rows = spp * max_depth
+                tm = tuple(
+                    textape_ref[pl.ds(c * rows + s * max_depth + d, 1), :]
+                    for c in range(3)
+                )
+            else:
+                tm = None
+
+            bounce = functools.partial(
+                _bounce_fn, hit=hit, seed=seed, alive=alive, tm=tm,
+                rr_start=rr_start, depth=d,
+            )
+            (state, aux), fvjp = _vjp3(bounce, join_rec, geo_rec, bg_rows, state)
+            seed, alive = aux
+            vjps.append((fvjp, onehot))
+
+        # fold this sample's radiance into the tile framebuffer (the
+        # replayed forward — free validation against the recorded fb)
+        f0, f1, f2 = state[9], state[10], state[11]
+        fb_ref[0:1, :] = fb_ref[0:1, :] + f0
+        fb_ref[1:2, :] = fb_ref[1:2, :] + f1
+        fb_ref[2:3, :] = fb_ref[2:3, :] + f2
+
+        # ---- reverse: state cotangent flows back through the chain ----
+        g_state = (g0, g0, g0, g0, g0, g0, g0, g0, g0,
+                   gfb_ref[0:1, :], gfb_ref[1:2, :], gfb_ref[2:3, :])
+        for d in reversed(range(max_depth)):
+            fvjp, onehot = vjps[d]
+            g_join, g_geo, g_bg, g_state = fvjp(g_state)
+            djoin_ref[...] = djoin_ref[...] + _dot_hi(g_join, onehot, ((1,), (1,)))
+            dgeo_ref[...] = dgeo_ref[...] + _dot_hi(g_geo, onehot, ((1,), (1,)))
+            for c in range(3):
+                dcam_ref[12 + c : 13 + c, :] = (
+                    dcam_ref[12 + c : 13 + c, :] + g_bg[c]
+                )
+
+        g_cam12 = gen_vjp(g_state[0:6])
+        for i in range(12):
+            dcam_ref[i : i + 1, :] = dcam_ref[i : i + 1, :] + g_cam12[i]
+        return carry
+
+    jax.lax.fori_loop(0, spp, sample_body, jnp.int32(0))
+
+
+def _vjp3(f, join_rec, geo_rec, bg_rows, state):
+    out, fvjp, aux = jax.vjp(f, join_rec, geo_rec, bg_rows, state, has_aux=True)
+
+    def vjp_fn(g_state):
+        g_join, g_geo, g_bg, g_st = fvjp(g_state)
+        return g_join, g_geo, g_bg, g_st
+
+    return (out, aux), vjp_fn
+
+
+def _bounce_fn(join_rec, geo_rec, bg_rows, state, *, hit, seed, alive, tm,
+               rr_start, depth):
+    """One differentiable replay bounce on (1, 128) rows.
+
+    The winner is fixed by the tape (`hit`, via the one-hot joined
+    records); t is recomputed differentiably from the joined geometry
+    with the XLA replay's conventions (tracer.geometry.sphere
+    sphere_t_gathered / plane plane_alpha_beta root), except that
+    validity masks only pick the sphere root — the tape already proved
+    the winner valid, so razor-edge ulp flips cannot send t to +inf.
+    Shading and scatter are the SHARED in-kernel `_shade` (the same ops
+    the forward ran), with the NaN-safe sqrt for reverse mode.
+    """
+    ox, oy, oz, dx, dy, dz, b0, b1, b2, f0, f1, f2 = state
+    row = lambda r: join_rec[r : r + 1, :]
+    hitf = hit  # (1, 128) bool
+
+    # miss-lane sanitization (replay.py:_joined_hit_recorded): the all-
+    # zero joined row would otherwise put 1/0 and sqrt'(0) infinities
+    # into reverse mode through the masked branches
+    rad = jnp.where(hitf, row(J_RAD), 1.0)
+    ir_safe = jnp.where(hitf, row(J_IR), 1.0)
+    pnx = row(J_NX)
+    pny = row(J_NY)
+    pnz = jnp.where(hitf, row(J_NZ), 1.0)  # misses get a unit z normal
+    cx, cy, cz = row(J_CX), row(J_CY), row(J_CZ)
+    is_sph = row(J_ISSPH) > 0.5
+    pd = geo_rec[G_PD : G_PD + 1, :]
+
+    a = dx * dx + dy * dy + dz * dz
+    # sphere: nearest valid root (sphere.h quadratic; fall back to the
+    # far root when the near one is out of range — interior exits)
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    half_b = ocx * dx + ocy * dy + ocz * dz
+    c_q = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+    disc = half_b * half_b - a * c_q
+    dpos = disc >= 0.0
+    sq = vec._sqrt_grad_safe(jnp.where(dpos, disc, 1.0))
+    inv_a = 1.0 / a
+    t_near = (-half_b - sq) * inv_a
+    near_ok = dpos & (t_near >= T_MIN) & (t_near <= T_MAX)
+    t_s = jnp.where(near_ok, t_near, (-half_b + sq) * inv_a)
+    # plane: single root (plane.h:58-61)
+    denom = pnx * dx + pny * dy + pnz * dz
+    safe_denom = jnp.where(jnp.abs(denom) < DENOM_EPS, 1.0, denom)
+    t_p = (pd - (pnx * ox + pny * oy + pnz * oz)) / safe_denom
+    t_row = jnp.where(hitf, jnp.where(is_sph, t_s, t_p), K_INFINITY)
+
+    rec = join_rec
+    if tm is not None:
+        # recorded texture multipliers pre-scale the albedo rows (the
+        # tape freezes texel values — same semantics as the XLA replay)
+        alb = jnp.concatenate(
+            [rec[J_ALB0 + c : J_ALB0 + c + 1, :] * tm[c] for c in range(3)],
+            axis=0,
+        )
+        rec = jnp.concatenate(
+            [rec[:J_ALB0], alb, rec[J_ALB0 + 3 :]], axis=0
+        )
+    # the sanitized rows must reach _shade (it re-reads them from rec)
+    rec = jnp.concatenate(
+        [rec[:J_RAD], rad, rec[J_RAD + 1 : J_NZ], pnz,
+         rec[J_NZ + 1 : J_IR], ir_safe, rec[J_IR + 1 :]],
+        axis=0,
+    )
+
+    out = _shade(
+        rec, t_row, ox, oy, oz, dx, dy, dz, a,
+        (b0, b1, b2), (f0, f1, f2), seed, alive, bg_rows,
+        to_px=lambda r: r, pu=None, pv=None, tex_refs=None, flat=None,
+        big_tex=None, ps=(1, 128), rr_start=rr_start, depth=depth,
+        sqrt_fn=vec._sqrt_grad_safe,
+    )
+    (nox, noy, noz), (ndx, ndy, ndz), (nb0, nb1, nb2), (nf0, nf1, nf2), \
+        seed2, live = out
+    new_state = (nox, noy, noz, ndx, ndy, ndz, nb0, nb1, nb2, nf0, nf1, nf2)
+    return new_state, (seed2, live)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "max_depth", "width", "num_pixels", "quirk",
+                     "rr_start", "strat_k", "interpret", "has_textape"),
+)
+def _bwd_call(params, camv, joinT, geoT, idx2, gfb2, textape2, *,
+              spp, max_depth, width, num_pixels, quirk, rr_start, strat_k,
+              interpret, has_textape):
+    n_pad = joinT.shape[1]
+    grid = gfb2.shape[1] // 128
+    kernel = functools.partial(
+        _bwd_kernel, spp=spp, max_depth=max_depth, width=width,
+        num_pixels=num_pixels, quirk=quirk, rr_start=rr_start,
+        strat_k=strat_k, has_textape=has_textape,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((spp * max_depth, 128), lambda g: (0, g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 128), lambda g: (0, g), memory_space=pltpu.VMEM),
+    ]
+    inputs = [params, camv, joinT, geoT, idx2, gfb2]
+    if has_textape:
+        in_specs.append(pl.BlockSpec((3 * spp * max_depth, 128),
+                                     lambda g: (0, g),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(textape2)
+    out_specs = [
+        pl.BlockSpec((JROWS, n_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((GROWS, n_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((CAMV_ROWS, 128), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 128), lambda g: (0, g), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((JROWS, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((GROWS, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((CAMV_ROWS, 128), jnp.float32),
+        jax.ShapeDtypeStruct((3, grid * 128), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(*inputs)
+
+
+def scene_cam_grads(scene: Scene, cam: camera_mod.CameraData, idx, g_fb,
+                    width: int, height: int, spp: int, max_depth: int,
+                    reference_quirk: bool = True, rr_start=None,
+                    stratify: bool = False, sample_start: int = 0,
+                    row_offset: int = 0, tex_tape=None, interpret=False):
+    """(d(scene), d(cam), fb_replayed) for cotangent g_fb [H, W, 3].
+
+    The kernel produces cotangents on the packed tables and the camera
+    rows; `jax.vjp` of the (differentiable) packing maps them back onto
+    the Scene/CameraData pytrees — the transpose of pack_bwd_tables is
+    a handful of scatters on tiny [N]-shaped leaves, negligible next to
+    the kernel.
+    """
+    num_pixels = width * height
+    grid = -(-num_pixels // 128)
+    pad = grid * 128 - num_pixels
+
+    def tables(scene, cam):
+        join, geo = pack_bwd_tables(scene)
+        vals = jnp.concatenate([
+            cam.pixel00_loc, cam.pixel_delta_u, cam.pixel_delta_v,
+            cam.origin, cam.background, jnp.zeros((1,), jnp.float32),
+        ])  # [16]
+        camv = jnp.broadcast_to(vals[:, None], (CAMV_ROWS, 128))
+        return join, geo, camv
+
+    (joinT, geoT, camv), vjp_tables = jax.vjp(tables, scene, cam)
+
+    strat_k = 0
+    if stratify:
+        strat_k = int(round(spp ** 0.5))
+        assert strat_k * strat_k == spp, "stratify requires square spp"
+
+    params = jnp.concatenate([
+        jnp.zeros((15,), jnp.float32),
+        jnp.asarray(row_offset, jnp.float32).reshape(1),
+        jnp.asarray(sample_start, jnp.float32).reshape(1),
+        jnp.zeros((7,), jnp.float32),
+    ]).reshape(1, 24)
+
+    idx2 = idx.reshape(spp * max_depth, num_pixels)
+    idx2 = jnp.pad(idx2, ((0, 0), (0, pad)), constant_values=-1)
+    gfb2 = jnp.moveaxis(
+        jnp.asarray(g_fb, jnp.float32).reshape(num_pixels, 3), 0, 1)
+    gfb2 = jnp.pad(gfb2, ((0, 0), (0, pad)))
+    has_textape = tex_tape is not None
+    if has_textape:
+        # [spp, D, N, 3] -> channel-major rows [3*spp*D, N] (tape layout)
+        t2 = jnp.moveaxis(tex_tape.reshape(spp * max_depth, num_pixels, 3),
+                          2, 0).reshape(3 * spp * max_depth, num_pixels)
+        t2 = jnp.pad(t2, ((0, 0), (0, pad)), constant_values=1.0)
+    else:
+        t2 = None
+
+    djoin, dgeo, dcam, fb2 = _bwd_call(
+        params, camv, joinT, geoT, idx2, gfb2, t2,
+        spp=spp, max_depth=max_depth, width=width, num_pixels=num_pixels,
+        quirk=reference_quirk, rr_start=rr_start, strat_k=strat_k,
+        interpret=interpret, has_textape=has_textape,
+    )
+    g_scene, g_cam = vjp_tables((djoin, dgeo, dcam))
+    fb = jnp.moveaxis(fb2[:, :num_pixels], 0, 1).reshape(height, width, 3)
+    return g_scene, g_cam, fb

@@ -32,11 +32,13 @@ from tracer.render import renderer
 # ----------------------------------------------------------------------
 
 
-def _record(scene, cam, width, height, spp, max_depth, reference_quirk):
+def _record(scene, cam, width, height, spp, max_depth, reference_quirk,
+            rr_start=None):
     out = megakernel.render_frame_pallas_record(
         scene, cam, width, height, spp, max_depth,
         reference_quirk=reference_quirk,
         interpret=jax.default_backend() == "cpu",
+        rr_start=rr_start,
     )
     # textured scenes also record the per-bounce texture multipliers
     # (fb, idx, tex); untextured return (fb, idx)
@@ -45,20 +47,23 @@ def _record(scene, cam, width, height, spp, max_depth, reference_quirk):
     return out + (None,)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _render_replay_diff(scene, cam, width, height, spp, max_depth,
-                        reference_quirk=True):
-    fb, _, _ = _record(scene, cam, width, height, spp, max_depth, reference_quirk)
+                        reference_quirk=True, rr_start=None):
+    fb, _, _ = _record(scene, cam, width, height, spp, max_depth,
+                       reference_quirk, rr_start)
     return fb
 
 
-def _replay_fwd(scene, cam, width, height, spp, max_depth, reference_quirk):
+def _replay_fwd(scene, cam, width, height, spp, max_depth, reference_quirk,
+                rr_start):
     fb, idx, tex = _record(scene, cam, width, height, spp, max_depth,
-                           reference_quirk)
+                           reference_quirk, rr_start)
     return fb, (scene, cam, idx, tex)
 
 
-def _replay_bwd(width, height, spp, max_depth, reference_quirk, residuals, g):
+def _replay_bwd(width, height, spp, max_depth, reference_quirk, rr_start,
+                residuals, g):
     from tracer.pallas import replay
 
     scene, cam, idx, tex = residuals
@@ -68,7 +73,7 @@ def _replay_bwd(width, height, spp, max_depth, reference_quirk, residuals, g):
             scene, cam, idx, width, height, spp, max_depth,
             reference_quirk=reference_quirk,
             chunk=min(renderer.DEFAULT_CHUNK, width * height),
-            tex_tape=tex,
+            tex_tape=tex, rr_start=rr_start,
         )
 
     _, vjp = jax.vjp(replay_render, scene, cam)
@@ -81,21 +86,23 @@ def _replay_bwd(width, height, spp, max_depth, reference_quirk, residuals, g):
 # are identical between the two.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _render_replay_sample_diff(scene, cam, width, height, spp, max_depth,
-                               reference_quirk=True):
-    fb, _, _ = _record(scene, cam, width, height, spp, max_depth, reference_quirk)
+                               reference_quirk=True, rr_start=None):
+    fb, _, _ = _record(scene, cam, width, height, spp, max_depth,
+                       reference_quirk, rr_start)
     return fb
 
 
-def _replay_sample_fwd(scene, cam, width, height, spp, max_depth, reference_quirk):
+def _replay_sample_fwd(scene, cam, width, height, spp, max_depth,
+                       reference_quirk, rr_start):
     fb, idx, _ = _record(scene, cam, width, height, spp, max_depth,
-                         reference_quirk)
+                         reference_quirk, rr_start)
     return fb, (scene, cam, idx)
 
 
 def _replay_sample_bwd(width, height, spp, max_depth, reference_quirk,
-                       residuals, g):
+                       rr_start, residuals, g):
     from tracer.pallas import replay
 
     scene, cam, idx = residuals
@@ -105,6 +112,7 @@ def _replay_sample_bwd(width, height, spp, max_depth, reference_quirk,
             scene, cam, idx, width, height, spp, max_depth,
             reference_quirk=reference_quirk,
             chunk=min(renderer.DEFAULT_CHUNK, width * height),
+            rr_start=rr_start,
         )
 
     _, vjp = jax.vjp(replay_render, scene, cam)
@@ -117,26 +125,68 @@ _render_replay_sample_diff.defvjp(_replay_sample_fwd, _replay_sample_bwd)
 _render_replay_diff.defvjp(_replay_fwd, _replay_bwd)
 
 
+# "replay-kernel" (round 3) — record forward + the FUSED Pallas backward
+# (tracer.pallas.bwd): the whole gradient step (forward replay from the
+# tape + manual reverse bounces + one-hot table-cotangent transposes)
+# runs as ONE kernel per tile instead of the XLA replay's ~30 small
+# fusions per bounce step. Same gradient definition (the kernel vjp's
+# the same ops); texture tape semantics identical to "replay".
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _render_kernel_diff(scene, cam, width, height, spp, max_depth,
+                        reference_quirk=True, rr_start=None):
+    fb, _, _ = _record(scene, cam, width, height, spp, max_depth,
+                       reference_quirk, rr_start)
+    return fb
+
+
+def _kernel_fwd(scene, cam, width, height, spp, max_depth, reference_quirk,
+                rr_start):
+    fb, idx, tex = _record(scene, cam, width, height, spp, max_depth,
+                           reference_quirk, rr_start)
+    return fb, (scene, cam, idx, tex)
+
+
+def _kernel_bwd(width, height, spp, max_depth, reference_quirk, rr_start,
+                residuals, g):
+    from tracer.pallas import bwd
+
+    scene, cam, idx, tex = residuals
+    g_scene, g_cam, _ = bwd.scene_cam_grads(
+        scene, cam, idx, g, width, height, spp, max_depth,
+        reference_quirk=reference_quirk, rr_start=rr_start, tex_tape=tex,
+        interpret=jax.default_backend() == "cpu",
+    )
+    return g_scene, g_cam
+
+
+_render_kernel_diff.defvjp(_kernel_fwd, _kernel_bwd)
+
+
 # ----------------------------------------------------------------------
 # remat-mode VJP (round 1): no residuals, full re-trace backward
 # ----------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _render_remat_diff(scene, cam, width, height, spp, max_depth,
-                       reference_quirk=True):
+                       reference_quirk=True, rr_start=None):
     return megakernel.render_frame_pallas(
         scene, cam, width, height, spp, max_depth, reference_quirk=reference_quirk,
-        interpret=jax.default_backend() == "cpu",
+        interpret=jax.default_backend() == "cpu", rr_start=rr_start,
     )
 
 
-def _remat_fwd(scene, cam, width, height, spp, max_depth, reference_quirk):
-    out = _render_remat_diff(scene, cam, width, height, spp, max_depth, reference_quirk)
+def _remat_fwd(scene, cam, width, height, spp, max_depth, reference_quirk,
+               rr_start):
+    out = _render_remat_diff(scene, cam, width, height, spp, max_depth,
+                             reference_quirk, rr_start)
     return out, (scene, cam)
 
 
-def _remat_bwd(width, height, spp, max_depth, reference_quirk, residuals, g):
+def _remat_bwd(width, height, spp, max_depth, reference_quirk, rr_start,
+               residuals, g):
     scene, cam = residuals
 
     def xla_render(scene, cam):
@@ -144,6 +194,7 @@ def _remat_bwd(width, height, spp, max_depth, reference_quirk, residuals, g):
             scene, cam, width, height, spp=spp, max_depth=max_depth,
             reference_quirk=reference_quirk,
             chunk=min(renderer.DEFAULT_CHUNK, width * height),
+            rr_start=rr_start,
         )
 
     _, vjp = jax.vjp(xla_render, scene, cam)
@@ -154,7 +205,7 @@ _render_remat_diff.defvjp(_remat_fwd, _remat_bwd)
 
 
 def render_frame_diff(scene, cam, width, height, spp, max_depth,
-                      reference_quirk=True, mode="replay"):
+                      reference_quirk=True, mode="replay", rr_start=None):
     """Raw sample sums [H, W, 3]; forward = Pallas, backward = `mode`.
 
     mode="replay" (default): the fast backward. On textured scenes the
@@ -168,5 +219,7 @@ def render_frame_diff(scene, cam, width, height, spp, max_depth,
     """
     fn = {"replay": _render_replay_diff,
           "replay-sample": _render_replay_sample_diff,
+          "replay-kernel": _render_kernel_diff,
           "remat": _render_remat_diff}[mode]
-    return fn(scene, cam, width, height, spp, max_depth, reference_quirk)
+    return fn(scene, cam, width, height, spp, max_depth, reference_quirk,
+              rr_start)

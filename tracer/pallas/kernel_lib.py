@@ -644,7 +644,12 @@ def _sample_texture(texr_ref, texg_ref, texb_ref, u, v, th, tw):
 
 def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg, to_px,
            pu=None, pv=None, tex_refs=None, flat=None, big_tex=None, ps=None,
-           rr_start=None, depth=None, rec_rows=1, want_tex_mult=False):
+           rr_start=None, depth=None, rec_rows=1, want_tex_mult=False,
+           sqrt_fn=jnp.sqrt):
+    # sqrt_fn: the backward kernel passes vec._sqrt_grad_safe so reverse
+    # mode through the masked dielectric branch can't emit 0*inf NaNs at
+    # sqrt(0) (grazing rays with ir=1 — the round-2 NaN class); the live
+    # forward keeps the plain primitive.
     # `to_px` reshapes a flat (1, T) intersection row into the kernel's
     # pixel-tile shape (identity for 128-px tiles, (1,1024)->(8,128) for
     # big tiles so shading runs at full sublane utilization).
@@ -768,7 +773,7 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
 
     ratio = jnp.where(front, 1.0 / ir, ir)
     cos_t = jnp.minimum(-uddn, 1.0)
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    sin_t = sqrt_fn(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
     cannot = ratio * sin_t > 1.0
     r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
     refl_p = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
@@ -777,14 +782,14 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
     perp_y = ratio * (udy + cos_t * ny)
     perp_z = ratio * (udz + cos_t * nz)
     perp2 = perp_x * perp_x + perp_y * perp_y + perp_z * perp_z
-    par = -jnp.sqrt(jnp.abs(1.0 - perp2))
+    par = -sqrt_fn(jnp.abs(1.0 - perp2))
     reflx = udx - 2.0 * uddn * nx
     refly = udy - 2.0 * uddn * ny
     reflz = udz - 2.0 * uddn * nz
     diex = jnp.where(choose_refl, reflx, perp_x + par * nx)
     diey = jnp.where(choose_refl, refly, perp_y + par * ny)
     diez = jnp.where(choose_refl, reflz, perp_z + par * nz)
-    dist = jnp.sqrt((px - ox) ** 2 + (py - oy) ** 2 + (pz - oz) ** 2)
+    dist = sqrt_fn((px - ox) ** 2 + (py - oy) ** 2 + (pz - oz) ** 2)
     tr0 = jnp.where(front, 1.0, jnp.exp(-ab0 * dist))
     tr1 = jnp.where(front, 1.0, jnp.exp(-ab1 * dist))
     tr2 = jnp.where(front, 1.0, jnp.exp(-ab2 * dist))

@@ -260,13 +260,14 @@ def render_frame_pallas(
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
-        "tile_px", "stratify", "fast_math", "persistent",
+        "tile_px", "stratify", "fast_math", "persistent", "sample_start",
+        "rr_start",
     ),
 )
 def render_frame_pallas_record(
     scene, cam, width, height, spp, max_depth, reference_quirk=True,
     interpret=False, tile_px=128, stratify=False, fast_math=False,
-    sample_start=0, persistent=True,
+    sample_start=0, persistent=True, rr_start=None,
 ):
     """Forward render that ALSO records the per-bounce winner primitive
     index: returns (fb [H,W,3], idx [spp, max_depth, H*W] i32, -1=miss);
@@ -290,7 +291,7 @@ def render_frame_pallas_record(
         scene, cam, width, height, spp, max_depth, reference_quirk,
         interpret, 0, tile_px, stratify, None, sample_block=1,
         fast_math=fast_math, persistent=persistent and tile_px == 128,
-        record_idx=True, sample_start=sample_start,
+        record_idx=True, sample_start=sample_start, rr_start=rr_start,
     )
 
 
@@ -324,10 +325,11 @@ def _render_frame_impl(
     record_idx=False, sample_start=0, culled=False, cull_group=4,
     rr_start=None, no_far=False,
 ):
-    if rr_start is not None:
-        # replay would need to replicate the RR kill decisions; keep the
-        # recorded (differentiable) path on the plain estimator
-        assert not record_idx, "rr_start is not supported with recording"
+    # rr_start composes with record_idx (round 3): the RR kill decision is
+    # a deterministic function of the recorded streams (beta replays
+    # bit-identically, the kill draw comes from the same per-lane seed
+    # chain), so the replay recomputes it instead of needing it on tape —
+    # an RR-killed lane replays as dead, never as a background miss.
     if sample_block > 1:
         assert tile_px == 128, "sample_block requires 128-px tiles"
         if persistent:

@@ -221,6 +221,7 @@ def render_pixels_replay(
     remat_samples: bool = True,
     diff_textures: bool = False,
     tex_tape=None,
+    rr_start=None,
 ):
     """Raw sample sums [N, 3] by replaying the recorded index tape.
 
@@ -269,16 +270,23 @@ def render_pixels_replay(
         carry = (origin, direction, beta, final, seed, alive)
 
         def body(carry, xs):
-            idx_row, tex_row = xs
+            depth, idx_row, tex_row = xs
             fn = lambda sc, o, d, _i: _joined_hit_recorded(sc, o, d, idx_row)
             sc = scene._replace(textures=None) if tex_row is not None else scene
+            # rr_start: the kill decision is RECOMPUTED, not recorded —
+            # beta replays bit-identically and the kill draw comes from
+            # the same deterministic per-lane stream, so an RR-killed
+            # lane replays dead (its later -1 tape rows are masked by
+            # `alive`, never misread as background misses).
             return (
                 integrator._bounce(sc, cam.background, carry, None,
-                                   joined_hit_fn=fn, tex_mult=tex_row),
+                                   joined_hit_fn=fn, tex_mult=tex_row,
+                                   rr_start=rr_start, depth=depth),
                 None,
             )
 
-        xs = (idx_s, tex_s)  # idx_s: [D, chunk]; tex_s: [D, chunk, 3] or None
+        depths = jnp.arange(max_depth, dtype=jnp.int32)
+        xs = (depths, idx_s, tex_s)  # idx_s: [D, chunk]; tex_s: [D, chunk, 3] | None
         carry, _ = jax.lax.scan(body, carry, xs)
         return carry[3]
 
@@ -321,7 +329,7 @@ def render_pixels_replay(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "reference_quirk",
                      "chunk", "stratify", "strat_sqrt_spp", "remat_samples",
-                     "diff_textures"),
+                     "diff_textures", "rr_start"),
 )
 def render_frame_replay(
     scene: Scene,
@@ -339,6 +347,7 @@ def render_frame_replay(
     remat_samples: bool = True,
     diff_textures: bool = False,
     tex_tape=None,
+    rr_start=None,
 ):
     """Replayed frame render; must reproduce the recording forward's
     radiance (same streams, same branches — validated in tests).
@@ -352,6 +361,6 @@ def render_frame_replay(
         scene, cam, i_flat, j_flat, base_seed, idx, spp, max_depth,
         chunk=chunk, stratify=stratify, sample_start=sample_start,
         strat_sqrt_spp=strat_sqrt_spp, remat_samples=remat_samples,
-        diff_textures=diff_textures, tex_tape=tex_tape,
+        diff_textures=diff_textures, tex_tape=tex_tape, rr_start=rr_start,
     )
     return fb.reshape(height, width, 3)
