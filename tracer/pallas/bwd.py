@@ -29,11 +29,13 @@ is identical to the XLA replay's by construction — tests pin both
 against the remat oracle and finite differences.
 
 Outputs are accumulated across the (sequential) TPU grid into single
-blocks: d(join-table) [JROWS, Npad], d(geo-table) [GROWS, Npad],
-d(camera rows) [16, 128], plus the replayed frame (a free validation
-artifact). Scene cotangents come back through `jax.vjp` of the
-differentiable table packing (pack_bwd_tables) — the same linearization
-trick the XLA replay uses for its join table.
+blocks: d(combined join+geo table) [TROWS, Npad], d(camera rows)
+[16, 128], plus the replayed frame (a free validation artifact). Scene
+cotangents come back through `jax.vjp` of the differentiable table
+packing (pack_bwd_tables) — the same linearization trick the XLA replay
+uses for its join table. All one-hot joins and their cotangent
+transposes run as exact 3-pass bf16 matmuls (replay._exact_onehot_mm's
+trick) instead of 6-pass HIGHEST.
 
 Textured scenes consume the recorded texture-multiplier tape (albedo
 rows are pre-scaled by the frozen multipliers before _shade), matching
@@ -58,18 +60,21 @@ from tracer.pallas.kernel_lib import (
     _U, _rand, _round_up, _shade, _wang_hash,
 )
 
-GROWS = 8  # aux geometry rows: 0 = plane d (the join table lacks it)
+GROWS = 8  # aux geometry rows appended after JROWS: 0 = plane d
 G_PD = 0
+TROWS = 24 + GROWS  # combined table height (JROWS + geo rows, sublane-aligned)
 CAMV_ROWS = 16  # p00(0:3) du(3:6) dv(6:9) origin(9:12) background(12:15)
 
 
 def pack_bwd_tables(scene: Scene):
-    """[JROWS, Npad] join + [GROWS, Npad] geo tables, differentiably.
+    """Combined [TROWS, Npad] table (join rows + geo rows), differentiably.
 
-    The join rows mirror kernel_lib.pack_scene's join exactly (so the
-    in-kernel `_shade` consumes the joined record unchanged); built with
-    plain jnp ops so `jax.vjp` of this function maps table cotangents
-    back onto the Scene pytree.
+    The first JROWS rows mirror kernel_lib.pack_scene's join exactly (so
+    the in-kernel `_shade` consumes the joined record unchanged); row
+    JROWS+G_PD carries the plane d the join table lacks. One table means
+    ONE one-hot join matmul per bounce (and one cotangent transpose)
+    instead of two. Built with plain jnp ops so `jax.vjp` of this
+    function maps table cotangents back onto the Scene pytree.
     """
     sph, pla = scene.spheres, scene.planes
     num_s, num_p = scene.num_spheres, scene.num_planes
@@ -119,21 +124,49 @@ def pack_bwd_tables(scene: Scene):
     geo = jnp.zeros((GROWS, n_pad), jnp.float32)
     if num_p:
         geo = geo.at[G_PD, num_s:n].set(pla.d)
-    return join, geo
+    return jnp.concatenate([join, geo], axis=0)
 
 
-def _dot_hi(a, b, dims):
-    return jax.lax.dot_general(
-        a, b, (dims, ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+def _dot3_join(table, onehot):
+    """table [R, Npad] f32 @ onehot [Npad, 128] 0/1, exact in 3 bf16 passes.
+
+    f32 = hi + mid + lo, each part bf16-representable; 0/1 selectors are
+    bf16-exact, so every partial product is exact and the result is
+    BIT-equal to the 6-pass HIGHEST matmul it replaces (the same trick
+    as replay._exact_onehot_mm, at half the MXU passes).
+    """
+    oh = onehot.astype(jnp.bfloat16)
+    out, x = None, table
+    for _ in range(3):
+        part = x.astype(jnp.bfloat16)
+        term = jax.lax.dot_general(
+            part, oh, ((((1,), (0,))), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = term if out is None else out + term
+        x = x - part.astype(jnp.float32)
+    return out
+
+
+def _dot3_lanes(g, onehot):
+    """g [R, 128] f32 x onehot [Npad, 128] -> [R, Npad], contracting the
+    lane dim, exact in 3 bf16 passes (the cotangent transpose of the
+    one-hot join: this time g is the operand that gets hi/mid/lo-split)."""
+    oh = onehot.astype(jnp.bfloat16)
+    out, x = None, g
+    for _ in range(3):
+        part = x.astype(jnp.bfloat16)
+        term = jax.lax.dot_general(
+            part, oh, ((((1,), (1,))), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = term if out is None else out + term
+        x = x - part.astype(jnp.float32)
+    return out
 
 
 def _bwd_kernel(
     params_ref,   # SMEM [1, 24]: slots 15/16 = row_offset / sample_start
     camv_ref,     # VMEM [16, 128]: camera param broadcast rows
-    joinT_ref,    # VMEM [JROWS, Npad]
-    geoT_ref,     # VMEM [GROWS, Npad]
+    tableT_ref,   # VMEM [TROWS, Npad] combined join+geo table
     idx_ref,      # VMEM [spp*D, 128] i32 tape block for this tile
     gfb_ref,      # VMEM [3, 128] loss cotangent block for this tile
     *refs,
@@ -148,15 +181,14 @@ def _bwd_kernel(
 ):
     refs = list(refs)
     textape_ref = refs.pop(0) if has_textape else None
-    djoin_ref, dgeo_ref, dcam_ref, fb_ref = refs
+    dtable_ref, dcam_ref, fb_ref = refs
 
     pid = pl.program_id(0)
-    n_pad = joinT_ref.shape[1]
+    n_pad = tableT_ref.shape[1]
 
     @pl.when(pid == 0)
     def _init():
-        djoin_ref[...] = jnp.zeros_like(djoin_ref)
-        dgeo_ref[...] = jnp.zeros_like(dgeo_ref)
+        dtable_ref[...] = jnp.zeros_like(dtable_ref)
         dcam_ref[...] = jnp.zeros_like(dcam_ref)
 
     fb_ref[...] = jnp.zeros_like(fb_ref)
@@ -223,8 +255,7 @@ def _bwd_kernel(
             hit = idx_row >= 0
             onehot = ((iota_n == jnp.broadcast_to(idx_row, (n_pad, 128)))
                       ).astype(jnp.float32)
-            join_rec = _dot_hi(joinT_ref[...], onehot, ((1,), (0,)))
-            geo_rec = _dot_hi(geoT_ref[...], onehot, ((1,), (0,)))
+            comb_rec = _dot3_join(tableT_ref[...], onehot)
             if has_textape:
                 rows = spp * max_depth
                 tm = tuple(
@@ -238,7 +269,7 @@ def _bwd_kernel(
                 _bounce_fn, hit=hit, seed=seed, alive=alive, tm=tm,
                 rr_start=rr_start, depth=d,
             )
-            (state, aux), fvjp = _vjp3(bounce, join_rec, geo_rec, bg_rows, state)
+            (state, aux), fvjp = _vjp3(bounce, comb_rec, bg_rows, state)
             seed, alive = aux
             vjps.append((fvjp, onehot))
 
@@ -252,35 +283,34 @@ def _bwd_kernel(
         # ---- reverse: state cotangent flows back through the chain ----
         g_state = (g0, g0, g0, g0, g0, g0, g0, g0, g0,
                    gfb_ref[0:1, :], gfb_ref[1:2, :], gfb_ref[2:3, :])
+        g_bg_acc = (g0, g0, g0)
         for d in reversed(range(max_depth)):
             fvjp, onehot = vjps[d]
-            g_join, g_geo, g_bg, g_state = fvjp(g_state)
-            djoin_ref[...] = djoin_ref[...] + _dot_hi(g_join, onehot, ((1,), (1,)))
-            dgeo_ref[...] = dgeo_ref[...] + _dot_hi(g_geo, onehot, ((1,), (1,)))
-            for c in range(3):
-                dcam_ref[12 + c : 13 + c, :] = (
-                    dcam_ref[12 + c : 13 + c, :] + g_bg[c]
-                )
+            g_comb, g_bg, g_state = fvjp(g_state)
+            dtable_ref[...] = dtable_ref[...] + _dot3_lanes(g_comb, onehot)
+            g_bg_acc = tuple(a + b for a, b in zip(g_bg_acc, g_bg))
 
+        # one batched [16, 128] accumulate per sample: 12 camera-gen rows
+        # + 3 background rows + a zero pad row (vs 15 separate row RMWs)
         g_cam12 = gen_vjp(g_state[0:6])
-        for i in range(12):
-            dcam_ref[i : i + 1, :] = dcam_ref[i : i + 1, :] + g_cam12[i]
+        dcam_ref[...] = dcam_ref[...] + jnp.concatenate(
+            list(g_cam12) + list(g_bg_acc) + [g0], axis=0)
         return carry
 
     jax.lax.fori_loop(0, spp, sample_body, jnp.int32(0))
 
 
-def _vjp3(f, join_rec, geo_rec, bg_rows, state):
-    out, fvjp, aux = jax.vjp(f, join_rec, geo_rec, bg_rows, state, has_aux=True)
+def _vjp3(f, comb_rec, bg_rows, state):
+    out, fvjp, aux = jax.vjp(f, comb_rec, bg_rows, state, has_aux=True)
 
     def vjp_fn(g_state):
-        g_join, g_geo, g_bg, g_st = fvjp(g_state)
-        return g_join, g_geo, g_bg, g_st
+        g_comb, g_bg, g_st = fvjp(g_state)
+        return g_comb, g_bg, g_st
 
     return (out, aux), vjp_fn
 
 
-def _bounce_fn(join_rec, geo_rec, bg_rows, state, *, hit, seed, alive, tm,
+def _bounce_fn(comb_rec, bg_rows, state, *, hit, seed, alive, tm,
                rr_start, depth):
     """One differentiable replay bounce on (1, 128) rows.
 
@@ -294,7 +324,7 @@ def _bounce_fn(join_rec, geo_rec, bg_rows, state, *, hit, seed, alive, tm,
     the forward ran), with the NaN-safe sqrt for reverse mode.
     """
     ox, oy, oz, dx, dy, dz, b0, b1, b2, f0, f1, f2 = state
-    row = lambda r: join_rec[r : r + 1, :]
+    row = lambda r: comb_rec[r : r + 1, :]
     hitf = hit  # (1, 128) bool
 
     # miss-lane sanitization (replay.py:_joined_hit_recorded): the all-
@@ -307,7 +337,7 @@ def _bounce_fn(join_rec, geo_rec, bg_rows, state, *, hit, seed, alive, tm,
     pnz = jnp.where(hitf, row(J_NZ), 1.0)  # misses get a unit z normal
     cx, cy, cz = row(J_CX), row(J_CY), row(J_CZ)
     is_sph = row(J_ISSPH) > 0.5
-    pd = geo_rec[G_PD : G_PD + 1, :]
+    pd = comb_rec[JROWS + G_PD : JROWS + G_PD + 1, :]
 
     a = dx * dx + dy * dy + dz * dz
     # sphere: nearest valid root (sphere.h quadratic; fall back to the
@@ -328,7 +358,7 @@ def _bounce_fn(join_rec, geo_rec, bg_rows, state, *, hit, seed, alive, tm,
     t_p = (pd - (pnx * ox + pny * oy + pnz * oz)) / safe_denom
     t_row = jnp.where(hitf, jnp.where(is_sph, t_s, t_p), K_INFINITY)
 
-    rec = join_rec
+    rec = comb_rec  # extra geo tail rows are inert to _shade (row ids < JROWS)
     if tm is not None:
         # recorded texture multipliers pre-scale the albedo rows (the
         # tape freezes texel values — same semantics as the XLA replay)
@@ -364,10 +394,10 @@ def _bounce_fn(join_rec, geo_rec, bg_rows, state, *, hit, seed, alive, tm,
     static_argnames=("spp", "max_depth", "width", "num_pixels", "quirk",
                      "rr_start", "strat_k", "interpret", "has_textape"),
 )
-def _bwd_call(params, camv, joinT, geoT, idx2, gfb2, textape2, *,
+def _bwd_call(params, camv, tableT, idx2, gfb2, textape2, *,
               spp, max_depth, width, num_pixels, quirk, rr_start, strat_k,
               interpret, has_textape):
-    n_pad = joinT.shape[1]
+    n_pad = tableT.shape[1]
     grid = gfb2.shape[1] // 128
     kernel = functools.partial(
         _bwd_kernel, spp=spp, max_depth=max_depth, width=width,
@@ -378,26 +408,23 @@ def _bwd_call(params, camv, joinT, geoT, idx2, gfb2, textape2, *,
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec((spp * max_depth, 128), lambda g: (0, g),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3, 128), lambda g: (0, g), memory_space=pltpu.VMEM),
     ]
-    inputs = [params, camv, joinT, geoT, idx2, gfb2]
+    inputs = [params, camv, tableT, idx2, gfb2]
     if has_textape:
         in_specs.append(pl.BlockSpec((3 * spp * max_depth, 128),
                                      lambda g: (0, g),
                                      memory_space=pltpu.VMEM))
         inputs.append(textape2)
     out_specs = [
-        pl.BlockSpec((JROWS, n_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((GROWS, n_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TROWS, n_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((CAMV_ROWS, 128), lambda g: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, 128), lambda g: (0, g), memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((JROWS, n_pad), jnp.float32),
-        jax.ShapeDtypeStruct((GROWS, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((TROWS, n_pad), jnp.float32),
         jax.ShapeDtypeStruct((CAMV_ROWS, 128), jnp.float32),
         jax.ShapeDtypeStruct((3, grid * 128), jnp.float32),
     ]
@@ -432,15 +459,15 @@ def scene_cam_grads(scene: Scene, cam: camera_mod.CameraData, idx, g_fb,
     pad = grid * 128 - num_pixels
 
     def tables(scene, cam):
-        join, geo = pack_bwd_tables(scene)
+        comb = pack_bwd_tables(scene)
         vals = jnp.concatenate([
             cam.pixel00_loc, cam.pixel_delta_u, cam.pixel_delta_v,
             cam.origin, cam.background, jnp.zeros((1,), jnp.float32),
         ])  # [16]
         camv = jnp.broadcast_to(vals[:, None], (CAMV_ROWS, 128))
-        return join, geo, camv
+        return comb, camv
 
-    (joinT, geoT, camv), vjp_tables = jax.vjp(tables, scene, cam)
+    (tableT, camv), vjp_tables = jax.vjp(tables, scene, cam)
 
     strat_k = 0
     if stratify:
@@ -468,12 +495,12 @@ def scene_cam_grads(scene: Scene, cam: camera_mod.CameraData, idx, g_fb,
     else:
         t2 = None
 
-    djoin, dgeo, dcam, fb2 = _bwd_call(
-        params, camv, joinT, geoT, idx2, gfb2, t2,
+    dtable, dcam, fb2 = _bwd_call(
+        params, camv, tableT, idx2, gfb2, t2,
         spp=spp, max_depth=max_depth, width=width, num_pixels=num_pixels,
         quirk=reference_quirk, rr_start=rr_start, strat_k=strat_k,
         interpret=interpret, has_textape=has_textape,
     )
-    g_scene, g_cam = vjp_tables((djoin, dgeo, dcam))
+    g_scene, g_cam = vjp_tables((dtable, dcam))
     fb = jnp.moveaxis(fb2[:, :num_pixels], 0, 1).reshape(height, width, 3)
     return g_scene, g_cam, fb
