@@ -34,7 +34,7 @@ BASELINE_MRAYS_PER_CHIP = 250.0
 
 WIDTH, HEIGHT, SPP, DEPTH = 800, 600, 32, 50
 FLOOR_JPG = "/root/reference/floor.jpg"
-CHILD_TIMEOUT_S = int(os.environ.get("TRACER_BENCH_TIMEOUT", "2400"))
+CHILD_TIMEOUT_S = int(os.environ.get("TRACER_BENCH_TIMEOUT", "3300"))
 
 
 def _emit(metric, mrays, extra=None):
@@ -162,8 +162,8 @@ def _measure() -> int:
     except Exception as e:
         print(f"rr bench failed: {e}", file=sys.stderr)
 
-    # 3. fwd+bwd via the record/replay VJP (round-1 remat was 1.9 Mrays/s
-    #    at this shape)
+    # 3. fwd+bwd via the record + FUSED-KERNEL backward (round 3; the
+    #    round-2 XLA replay measured 11.9 at this shape, round-1 remat 1.9)
     try:
         import jax
         import jax.numpy as jnp
@@ -187,7 +187,7 @@ def _measure() -> int:
         best = _time_frames(lambda cam: run_grad(cam),
                             lambda k: cam_at(k, gw, gh))
         _emit("fwdbwd_mrays_per_s", gw * gh * gspp / best / 1e6,
-              {"engine": "pallas+replay", "shape": f"{gw}x{gh}x{gspp}spp d{gdepth}"})
+              {"engine": "pallas+bwdkernel", "shape": f"{gw}x{gh}x{gspp}spp d{gdepth}"})
 
         # 3b. fwd+bwd with Russian roulette (round 3: rr composes with
         #     record/replay — kill decisions are recomputed in the replay)
@@ -205,12 +205,37 @@ def _measure() -> int:
 
         best = _time_frames(run_grad_rr, lambda k: cam_at(k, gw, gh))
         _emit("fwdbwd_rr_mrays_per_s", gw * gh * gspp / best / 1e6,
-              {"engine": "pallas+replay", "rr_start": 3,
+              {"engine": "pallas+bwdkernel", "rr_start": 3,
                "shape": f"{gw}x{gh}x{gspp}spp d{gdepth}"})
     except Exception as e:
         print(f"fwd+bwd bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # 3c. fwd+bwd at the HONEST north-star shape — the reference's real
+    #     max_depth=50 (config.txt:16), 1080x720, 64 spp, full scene+cam
+    #     grads. Tape memory is bounded by spp-chunked recording
+    #     (bwd.l2_grads_deep; the full tape would be ~29 GB) and the
+    #     backward kernel checkpoints over depth segments.
+    try:
+        from tracer.pallas import bwd as pallas_bwd
+
+        dw, dh, dspp, ddepth = 1080, 720, 64, 50
+        dtarget = np.zeros((dh, dw, 3), np.float32)
+
+        def run_deep(cam):
+            _, gs, _ = pallas_bwd.l2_grads_deep(
+                scene_untex, cam, dtarget, dw, dh, dspp, ddepth, spp_chunk=8)
+            float(np.asarray(gs.materials.albedo)[0, 0])
+            return gs
+
+        best = _time_frames(run_deep, lambda k: cam_at(k, dw, dh), nframes=2)
+        _emit("fwdbwd_d50_mrays_per_s", dw * dh * dspp / best / 1e6,
+              {"engine": "pallas+bwdkernel+sppchunk",
+               "shape": f"{dw}x{dh}x{dspp}spp d{ddepth}"})
+    except Exception as e:
+        print(f"d50 fwd+bwd bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     # 4. 2000-sphere scene (BASELINE config 5 scale), forward
+    big = None
     try:
         # non-overlapping placement (50x40 grid, jitter bounded by the
         # radius clearance): guarantees no scatter origin can sit inside
@@ -331,10 +356,43 @@ def _measure() -> int:
 
         best = _time_frames(run_cfg4, cfg4_cam)
         _emit("fwdbwd_textured_mrays_per_s", cw * ch * cspp / best / 1e6,
-              {"engine": "pallas+replay+textape",
+              {"engine": "pallas+bwdkernel+textape",
                "shape": f"{cw}x{ch}x{cspp}spp d{cdepth}", "spheres": cn})
     except Exception as e:
         print(f"config-4 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # 6. BASELINE config 5 (2K spheres, 4K render, sharded tiles, grads on
+    #    all scene params) — the sharded+chunked kernel-backward runner
+    #    (dist.sharding.l2_grads_deep_sharded) on a 1-device mesh (the
+    #    multi-device code path; this box has one chip). Time-boxed at
+    #    64 spp: the rate is spp-invariant (chunked steps amortize fixed
+    #    costs by 8 spp already) — the 256-spp step as written was run
+    #    end-to-end 2026-08-19, see BASELINE.md "config 5" for its wall
+    #    time. Last because it is the longest line (~6 min).
+    try:
+        from tracer.dist import sharding as dist_sharding
+
+        assert big is not None, "2000-sphere scene construction failed above"
+        c5w, c5h, c5spp, c5depth = 3840, 2160, 64, 8
+        mesh1 = dist_sharding.make_mesh(jax.devices()[:1])
+        c5target = np.zeros((c5h, c5w, 3), np.float32)
+        c5cam = camera_mod.build_camera_data(
+            origin=[80, 0, 35], look_at=[0, 0, 3], width=c5w, height=c5h,
+            vfov=55.0)
+
+        def run_cfg5(cam):
+            _, gs, _ = dist_sharding.l2_grads_deep_sharded(
+                big, cam, c5target, c5w, c5h, c5spp, c5depth, mesh1,
+                spp_chunk=4, fwd_spp_chunk=8)
+            float(np.asarray(gs.materials.albedo)[0, 0])
+
+        best = _time_frames(run_cfg5, lambda k: c5cam, nframes=1)
+        _emit("fwdbwd_cfg5_mrays_per_s", c5w * c5h * c5spp / best / 1e6,
+              {"engine": "pallas+bwdkernel+sharded+sppchunk",
+               "shape": f"{c5w}x{c5h}x{c5spp}spp d{c5depth}", "spheres": 2000,
+               "note": "rate matches the as-written 256-spp step (spp-linear)"})
+    except Exception as e:
+        print(f"config-5 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     return 0
 
@@ -375,33 +433,25 @@ def main() -> int:
     delay = float(os.environ.get("TRACER_BENCH_BACKOFF", "20"))
     reason = "bench child produced no metric"
     for attempt in range(attempts):
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=CHILD_TIMEOUT_S, capture_output=True, text=True,
-            )
-        except subprocess.TimeoutExpired as e:
-            out = e.stdout or ""
-            if isinstance(out, bytes):
-                out = out.decode(errors="replace")
-            if '"metric"' in out:  # child measured but hung on teardown
-                sys.stdout.write(out)
-                return 0
+        rc, timed_out, saw_metric, child_err = _run_child_streaming(env)
+        if saw_metric:
+            # Metric lines were already streamed to stdout the moment the
+            # child printed them (so even an EXTERNAL kill of this parent
+            # keeps whatever was measured); a teardown hang/crash after
+            # that is a success.
+            sys.stderr.write(child_err[-2000:])
+            return 0
+        if timed_out:
             # A hang is as likely a dead tunnel as a real 40-min compile;
             # don't retry (another CHILD_TIMEOUT_S would blow the round's
             # bench budget) — fail soft immediately.
             reason = "accelerator backend unreachable (watchdog timeout)"
             break
-        if '"metric"' in r.stdout:
-            sys.stdout.write(r.stdout)
-            sys.stderr.write(r.stderr[-2000:])
-            return 0
         # Child died before printing any metric. Retry iff the failure
         # looks transient (same marker set the frame driver retries on).
-        tail = (r.stderr or "") + (r.stdout or "")
-        transient = any(m in tail for m in TRANSIENT_MARKERS)
-        reason = f"bench child exited rc={r.returncode} without a metric"
-        sys.stderr.write((r.stderr or "")[-2000:])
+        transient = any(m in child_err for m in TRANSIENT_MARKERS)
+        reason = f"bench child exited rc={rc} without a metric"
+        sys.stderr.write(child_err[-2000:])
         if transient and attempt < attempts - 1:
             print(
                 f"transient bench failure (attempt {attempt + 1}/{attempts}); "
@@ -416,6 +466,50 @@ def main() -> int:
         break
     _failsoft(reason)
     return 1
+
+
+def _run_child_streaming(env):
+    """Run the measuring child, STREAMING its stdout line-by-line to ours
+    (flushed immediately). Returns (rc, timed_out, saw_metric, stderr).
+
+    Streaming matters twice: (1) if the child dies mid-run, every metric
+    measured before the death is already out; (2) if the DRIVER kills
+    this parent (round budget), the lines are already flushed — the old
+    capture_output approach lost everything in both cases.
+    """
+    import tempfile
+    import threading
+
+    err_f = tempfile.TemporaryFile(mode="w+")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, stdout=subprocess.PIPE, stderr=err_f, text=True,
+    )
+    state = {"saw_metric": False}
+
+    def pump():
+        for line in proc.stdout:
+            if '"metric"' in line:
+                state["saw_metric"] = True
+            sys.stdout.write(line)
+            sys.stdout.flush()
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    timed_out = False
+    try:
+        rc = proc.wait(timeout=CHILD_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        proc.kill()  # exact child PID, never a pattern
+        rc = proc.wait()
+        timed_out = True
+    t.join(timeout=10)
+    err_f.seek(0)
+    try:
+        child_err = err_f.read()
+    finally:
+        err_f.close()
+    return rc, timed_out, state["saw_metric"], child_err
 
 
 if __name__ == "__main__":

@@ -354,6 +354,39 @@ class TestPallasSharded:
                 tol = 1e-5 * max(1.0, float(np.abs(np.asarray(b)).max()))
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=tol)
 
+    def test_sharded_kernel_backward_matches_unsharded(self, mesh):
+        """Round-3 config-5 runner (l2_grads_deep_sharded: row bands +
+        spp chunks + fused Pallas backward, cotangents psum'd): loss and
+        every gradient leaf must match the unsharded chunked path."""
+        import io as _io
+
+        import jax.numpy as jnp
+
+        from tracer.pallas import bwd
+        from tracer.scene import builders, config
+
+        params = config.read_scene_params(_io.StringIO(config.smoke_config_text()))
+        scene = builders.create_scene(params, with_bvh=False,
+                                      texture_loader=lambda _: None)
+        w, h, spp, depth = 32, 20, 4, 3  # 20 rows / 8 devices: padded bands
+        cam = C.build_camera_data([-15.0, 0.0, 4.5], [0.0, 4.5, 0.0], w, h, 90.0)
+        target = np.zeros((h, w, 3), np.float32)
+
+        l_ref, gs_ref, gc_ref = bwd.l2_grads_deep(
+            scene, cam, target, w, h, spp, depth, spp_chunk=2, interpret=True)
+        l_sh, gs_sh, gc_sh = sharding.l2_grads_deep_sharded(
+            scene, cam, target, w, h, spp, depth, mesh, spp_chunk=2,
+            interpret=True)
+        np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gs_sh) + jax.tree_util.tree_leaves(gc_sh),
+            jax.tree_util.tree_leaves(gs_ref) + jax.tree_util.tree_leaves(gc_ref),
+        ):
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                tol = 1e-5 * max(1.0, float(np.abs(np.asarray(b)).max()))
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=tol, rtol=1e-4)
+
     def test_sharded_replay_grads_textured(self, mesh):
         """Textured sharded fast-gradient step: the record under
         shard_map also emits the texture-multiplier tape (extra out_spec)

@@ -190,6 +190,7 @@ def render_frame_pallas_sharded(
     fast_math: bool = False,
     persistent: bool = True,
     rr_start=None,
+    sample_start=0,
 ):
     """Fused Pallas megakernel under shard_map: each device renders a
     contiguous band of image rows with its own pallas_call (round-2
@@ -206,7 +207,7 @@ def render_frame_pallas_sharded(
     n_dev = mesh.devices.size
     rows = -(-height // n_dev)  # ceil: bands below the image are sliced off
 
-    def shard_body(scene, cam):
+    def shard_body(scene, cam, ss):
         def to_varying(x):
             if not hasattr(x, "dtype"):
                 return x
@@ -215,24 +216,24 @@ def render_frame_pallas_sharded(
             except AttributeError:
                 return jax.lax.pvary(x, AXIS)
 
-        scene, cam = jax.tree.map(to_varying, (scene, cam))
+        scene, cam, ss = jax.tree.map(to_varying, (scene, cam, ss))
         row0 = jax.lax.axis_index(AXIS) * rows
         return megakernel._render_frame_impl(
             scene, cam, width, rows, spp, max_depth, reference_quirk,
             interpret, 0, tile_px, stratify, None,
             fast_math=fast_math, persistent=persistent, row_offset=row0,
-            rr_start=rr_start,
+            rr_start=rr_start, sample_start=ss,
         )
 
     fb = jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=(P(), P(), P()),
         out_specs=P(AXIS),
         # pallas_call's out_shape carries no vma annotation; the body is
         # trivially device-varying (row0), so skip the vma check
         check_vma=False,
-    )(scene, cam)
+    )(scene, cam, jnp.int32(sample_start))
     return fb[:height]
 
 
@@ -343,6 +344,137 @@ def scene_grads_replay_sharded(
 
     loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(scene)
     return loss, grads
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "rows", "spp_chunk", "max_depth",
+                     "mesh", "reference_quirk", "rr_start", "interpret"),
+)
+def _chunk_cotangents_sharded(scene, cam, tableT, camv, g_pad, sample_start,
+                              width, height, rows, spp_chunk, max_depth,
+                              mesh, reference_quirk, rr_start, interpret):
+    """One spp chunk of the sharded kernel backward: every device records
+    its row band's tape and runs the fused backward kernel on it; the two
+    cotangent blocks (combined table + camera rows) psum over the mesh.
+    The tape never leaves its device."""
+    from tracer.pallas import bwd as bwd_mod
+    from tracer.pallas import megakernel
+
+    has_tex = scene.textures is not None
+
+    def to_varying(x):
+        if not hasattr(x, "dtype"):
+            return x
+        try:
+            return jax.lax.pcast(x, (AXIS,), to="varying")
+        except AttributeError:
+            return jax.lax.pvary(x, AXIS)
+
+    def body(scene, cam, tableT, camv, g_band, ss):
+        scene, cam, tableT, camv, ss = jax.tree.map(
+            to_varying, (scene, cam, tableT, camv, ss))
+        row0 = jax.lax.axis_index(AXIS) * rows
+        out = megakernel._render_frame_impl(
+            scene, cam, width, rows, spp_chunk, max_depth, reference_quirk,
+            interpret, 0, 128, False, None, persistent=True,
+            record_idx=True, row_offset=row0, sample_start=ss,
+            rr_start=rr_start,
+        )
+        idx = out[1]
+        tex = out[2] if has_tex else None
+        dt, dc, _ = bwd_mod.band_cotangents(
+            tableT, camv, idx, g_band, width, rows, spp_chunk, max_depth,
+            row_offset=row0, sample_start=ss,
+            reference_quirk=reference_quirk, rr_start=rr_start,
+            tex_tape=tex, interpret=interpret,
+        )
+        return jax.lax.psum(dt, AXIS), jax.lax.psum(dc, AXIS)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(scene, cam, tableT, camv, g_pad, sample_start)
+
+
+def l2_grads_deep_sharded(
+    scene: Scene,
+    cam: camera_mod.CameraData,
+    target,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    mesh: Mesh,
+    spp_chunk: int = 8,
+    reference_quirk: bool = True,
+    rr_start=None,
+    interpret: bool = False,
+    fwd_spp_chunk=None,
+):
+    """(loss, d(scene), d(cam)) for mean((fb/spp - target)^2), sharded AND
+    spp-chunked — the BASELINE config-5 runner (2K spheres, 4K render,
+    256 spp, tiles sharded, grads on all scene params): row bands shard
+    over the mesh, samples chunk on the host so the tape never exceeds
+    spp_chunk x max_depth rows per band, and each chunk runs the fused
+    Pallas backward kernel per device with the table/camera cotangents
+    psum'd over ICI. Gradients match the unsharded bwd.l2_grads_deep up
+    to f32 reduction order (tests/test_dist.py pins it on the 8-device
+    CPU mesh)."""
+    from tracer.pallas import bwd as bwd_mod
+
+    assert spp % spp_chunk == 0, f"spp {spp} % spp_chunk {spp_chunk} != 0"
+    n_dev = mesh.devices.size
+    rows = -(-height // n_dev)
+    hpad = rows * n_dev
+
+    # Phase 1: the plain forward for the loss. fwd_spp_chunk bounds the
+    # duration of a single kernel dispatch — one ~190 s dispatch (4K,
+    # 256 spp, 2K prims) crashed the tunneled TPU worker; summed chunk
+    # frames are the identical estimator up to f32 addition order.
+    if fwd_spp_chunk and fwd_spp_chunk < spp:
+        assert spp % fwd_spp_chunk == 0
+        fb = None
+        for c in range(spp // fwd_spp_chunk):
+            part = render_frame_pallas_sharded(
+                scene, cam, width, height, fwd_spp_chunk, max_depth, mesh,
+                reference_quirk=reference_quirk, interpret=interpret,
+                tile_px=128, rr_start=rr_start,
+                sample_start=jnp.int32(c * fwd_spp_chunk),
+            )
+            fb = part if fb is None else fb + part
+    else:
+        fb = render_frame_pallas_sharded(
+            scene, cam, width, height, spp, max_depth, mesh,
+            reference_quirk=reference_quirk, interpret=interpret, tile_px=128,
+            rr_start=rr_start,
+        )
+    tgt = jnp.asarray(target, jnp.float32)
+
+    def loss_of(fb):
+        return jnp.mean((fb / spp - tgt) ** 2)
+
+    loss, loss_vjp = jax.vjp(loss_of, fb)
+    (g_fb,) = loss_vjp(jnp.ones((), jnp.float32))
+    g_pad = jnp.zeros((hpad, width, 3), jnp.float32).at[:height].set(g_fb)
+
+    (tableT, camv), vjp_tables = jax.vjp(bwd_mod.pack_tables, scene, cam)
+
+    dtable = dcam = None
+    for c in range(spp // spp_chunk):
+        dt, dc = _chunk_cotangents_sharded(
+            scene, cam, tableT, camv, g_pad, jnp.int32(c * spp_chunk),
+            width, height, rows, spp_chunk, max_depth, mesh,
+            reference_quirk, rr_start, interpret,
+        )
+        if dtable is None:
+            dtable, dcam = dt, dc
+        else:
+            dtable, dcam = dtable + dt, dcam + dc
+    g_scene, g_cam = vjp_tables((dtable, dcam))
+    return loss, g_scene, g_cam
 
 
 def scene_grads_sharded(

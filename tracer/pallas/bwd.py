@@ -127,6 +127,19 @@ def pack_bwd_tables(scene: Scene):
     return jnp.concatenate([join, geo], axis=0)
 
 
+def pack_tables(scene, cam):
+    """(combined table [TROWS, Npad], camera rows [16, 128]) — the two
+    kernel inputs whose cotangents carry ALL scene/camera gradients;
+    `jax.vjp` of this function maps them back onto the pytrees."""
+    comb = pack_bwd_tables(scene)
+    vals = jnp.concatenate([
+        cam.pixel00_loc, cam.pixel_delta_u, cam.pixel_delta_v,
+        cam.origin, cam.background, jnp.zeros((1,), jnp.float32),
+    ])  # [16]
+    camv = jnp.broadcast_to(vals[:, None], (CAMV_ROWS, 128))
+    return comb, camv
+
+
 def _dot3_join(table, onehot):
     """table [R, Npad] f32 @ onehot [Npad, 128] 0/1, exact in 3 bf16 passes.
 
@@ -178,6 +191,7 @@ def _bwd_kernel(
     rr_start,
     strat_k: int,
     has_textape: bool,
+    seg_size: int,
 ):
     refs = list(refs)
     textape_ref = refs.pop(0) if has_textape else None
@@ -249,8 +263,7 @@ def _bwd_kernel(
         alive = valid
         seed = seed_r
 
-        vjps = []
-        for d in range(max_depth):
+        def bounce_inputs(d):
             idx_row = idx_ref[pl.ds(s * max_depth + d, 1), :]
             hit = idx_row >= 0
             onehot = ((iota_n == jnp.broadcast_to(idx_row, (n_pad, 128)))
@@ -264,14 +277,24 @@ def _bwd_kernel(
                 )
             else:
                 tm = None
+            return hit, onehot, comb_rec, tm
 
-            bounce = functools.partial(
-                _bounce_fn, hit=hit, seed=seed, alive=alive, tm=tm,
-                rr_start=rr_start, depth=d,
-            )
-            (state, aux), fvjp = _vjp3(bounce, comb_rec, bg_rows, state)
-            seed, alive = aux
-            vjps.append((fvjp, onehot))
+        # ---- forward replay with depth-segment checkpointing ----------
+        # The unrolled 50-bounce vjp residual chain is ~430 KB/bounce of
+        # VMEM stack (d50 overflowed the 16 MB scoped limit by 6 MB), so
+        # bounces are grouped into segments of `seg_size`: the forward
+        # saves only each segment's entry state (12 rows + seed + alive),
+        # and the reverse sweep recomputes that segment's vjps from its
+        # checkpoint. Peak residual stack = seg_size bounces.
+        n_seg = -(-max_depth // seg_size)
+        seg_starts = []
+        for d in range(max_depth):
+            if d % seg_size == 0:
+                seg_starts.append((state, seed, alive))
+            hit, _, comb_rec, tm = bounce_inputs(d)
+            state, (seed, alive) = _bounce_fn(
+                comb_rec, bg_rows, state, hit=hit, seed=seed, alive=alive,
+                tm=tm, rr_start=rr_start, depth=d)
 
         # fold this sample's radiance into the tile framebuffer (the
         # replayed forward — free validation against the recorded fb)
@@ -280,15 +303,30 @@ def _bwd_kernel(
         fb_ref[1:2, :] = fb_ref[1:2, :] + f1
         fb_ref[2:3, :] = fb_ref[2:3, :] + f2
 
-        # ---- reverse: state cotangent flows back through the chain ----
+        # ---- reverse: per segment, rebuild vjps from the checkpoint,
+        # then flow the state cotangent back through its bounces --------
         g_state = (g0, g0, g0, g0, g0, g0, g0, g0, g0,
                    gfb_ref[0:1, :], gfb_ref[1:2, :], gfb_ref[2:3, :])
         g_bg_acc = (g0, g0, g0)
-        for d in reversed(range(max_depth)):
-            fvjp, onehot = vjps[d]
-            g_comb, g_bg, g_state = fvjp(g_state)
-            dtable_ref[...] = dtable_ref[...] + _dot3_lanes(g_comb, onehot)
-            g_bg_acc = tuple(a + b for a, b in zip(g_bg_acc, g_bg))
+        for si in reversed(range(n_seg)):
+            st, sd, al = seg_starts[si]
+            lo = si * seg_size
+            hi = min(max_depth, lo + seg_size)
+            vjps = []
+            for d in range(lo, hi):
+                hit, onehot, comb_rec, tm = bounce_inputs(d)
+                bounce = functools.partial(
+                    _bounce_fn, hit=hit, seed=sd, alive=al, tm=tm,
+                    rr_start=rr_start, depth=d,
+                )
+                (st, aux), fvjp = _vjp3(bounce, comb_rec, bg_rows, st)
+                sd, al = aux
+                vjps.append((fvjp, onehot))
+            for d in reversed(range(lo, hi)):
+                fvjp, onehot = vjps[d - lo]
+                g_comb, g_bg, g_state = fvjp(g_state)
+                dtable_ref[...] = dtable_ref[...] + _dot3_lanes(g_comb, onehot)
+                g_bg_acc = tuple(a + b for a, b in zip(g_bg_acc, g_bg))
 
         # one batched [16, 128] accumulate per sample: 12 camera-gen rows
         # + 3 background rows + a zero pad row (vs 15 separate row RMWs)
@@ -392,17 +430,18 @@ def _bounce_fn(comb_rec, bg_rows, state, *, hit, seed, alive, tm,
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_depth", "width", "num_pixels", "quirk",
-                     "rr_start", "strat_k", "interpret", "has_textape"),
+                     "rr_start", "strat_k", "interpret", "has_textape",
+                     "seg_size"),
 )
 def _bwd_call(params, camv, tableT, idx2, gfb2, textape2, *,
               spp, max_depth, width, num_pixels, quirk, rr_start, strat_k,
-              interpret, has_textape):
+              interpret, has_textape, seg_size):
     n_pad = tableT.shape[1]
     grid = gfb2.shape[1] // 128
     kernel = functools.partial(
         _bwd_kernel, spp=spp, max_depth=max_depth, width=width,
         num_pixels=num_pixels, quirk=quirk, rr_start=rr_start,
-        strat_k=strat_k, has_textape=has_textape,
+        strat_k=strat_k, has_textape=has_textape, seg_size=seg_size,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -445,7 +484,8 @@ def scene_cam_grads(scene: Scene, cam: camera_mod.CameraData, idx, g_fb,
                     width: int, height: int, spp: int, max_depth: int,
                     reference_quirk: bool = True, rr_start=None,
                     stratify: bool = False, sample_start: int = 0,
-                    row_offset: int = 0, tex_tape=None, interpret=False):
+                    row_offset: int = 0, tex_tape=None, interpret=False,
+                    seg_size: int = 8):
     """(d(scene), d(cam), fb_replayed) for cotangent g_fb [H, W, 3].
 
     The kernel produces cotangents on the packed tables and the camera
@@ -455,24 +495,42 @@ def scene_cam_grads(scene: Scene, cam: camera_mod.CameraData, idx, g_fb,
     the kernel.
     """
     num_pixels = width * height
-    grid = -(-num_pixels // 128)
-    pad = grid * 128 - num_pixels
 
-    def tables(scene, cam):
-        comb = pack_bwd_tables(scene)
-        vals = jnp.concatenate([
-            cam.pixel00_loc, cam.pixel_delta_u, cam.pixel_delta_v,
-            cam.origin, cam.background, jnp.zeros((1,), jnp.float32),
-        ])  # [16]
-        camv = jnp.broadcast_to(vals[:, None], (CAMV_ROWS, 128))
-        return comb, camv
-
-    (tableT, camv), vjp_tables = jax.vjp(tables, scene, cam)
+    (tableT, camv), vjp_tables = jax.vjp(pack_tables, scene, cam)
 
     strat_k = 0
     if stratify:
         strat_k = int(round(spp ** 0.5))
         assert strat_k * strat_k == spp, "stratify requires square spp"
+
+    dtable, dcam, fb2 = band_cotangents(
+        tableT, camv, idx, g_fb, width, height, spp, max_depth,
+        row_offset=row_offset, sample_start=sample_start,
+        reference_quirk=reference_quirk, rr_start=rr_start, strat_k=strat_k,
+        tex_tape=tex_tape, interpret=interpret, seg_size=seg_size,
+    )
+    g_scene, g_cam = vjp_tables((dtable, dcam))
+    fb = jnp.moveaxis(fb2[:, :num_pixels], 0, 1).reshape(height, width, 3)
+    return g_scene, g_cam, fb
+
+
+def band_cotangents(tableT, camv, idx, g_fb, width, band_rows, spp, max_depth,
+                    *, row_offset=0, sample_start=0, reference_quirk=True,
+                    rr_start=None, strat_k=0, tex_tape=None, interpret=False,
+                    seg_size=8):
+    """(dtable, dcam, fb2) for one `band_rows`-tall row band.
+
+    The shard_map-safe core of scene_cam_grads: row_offset and
+    sample_start may be TRACED values (they ride the params row into
+    SMEM), so a device can process its own band of a taller frame —
+    tracer.dist.sharding composes this per-device and psums the two
+    cotangent blocks. idx is [spp, max_depth, band_rows*width] (or any
+    shape reshapable to it), g_fb any shape reshapable to
+    [band_rows*width, 3].
+    """
+    num_pixels = width * band_rows
+    grid = -(-num_pixels // 128)
+    pad = grid * 128 - num_pixels
 
     params = jnp.concatenate([
         jnp.zeros((15,), jnp.float32),
@@ -495,12 +553,116 @@ def scene_cam_grads(scene: Scene, cam: camera_mod.CameraData, idx, g_fb,
     else:
         t2 = None
 
-    dtable, dcam, fb2 = _bwd_call(
+    return _bwd_call(
         params, camv, tableT, idx2, gfb2, t2,
         spp=spp, max_depth=max_depth, width=width, num_pixels=num_pixels,
         quirk=reference_quirk, rr_start=rr_start, strat_k=strat_k,
         interpret=interpret, has_textape=has_textape,
+        seg_size=min(seg_size, max_depth),
     )
-    g_scene, g_cam = vjp_tables((dtable, dcam))
-    fb = jnp.moveaxis(fb2[:, :num_pixels], 0, 1).reshape(height, width, 3)
-    return g_scene, g_cam, fb
+
+
+# ----------------------------------------------------------------------
+# spp-chunked gradients: reference-depth (d50) differentiable rendering
+# ----------------------------------------------------------------------
+
+
+def scene_grads_chunked(scene: Scene, cam, g_fb, width: int, height: int,
+                        spp: int, max_depth: int, spp_chunk: int = 4,
+                        reference_quirk: bool = True, rr_start=None,
+                        interpret=False):
+    """(d(scene), d(cam)) with tape memory bounded by `spp_chunk`.
+
+    The full-tape VJP needs spp x max_depth i32 rows per pixel — at the
+    reference's real max_depth=50 (config.txt:16) and 1080p 64 spp that
+    is ~29 GB, which is why round 2 quietly benched d8. Samples are
+    independent (fb = sum over chunk fbs, so every chunk's output
+    cotangent is the frame cotangent g_fb unchanged); this records and
+    back-propagates one spp chunk at a time and sums the cotangents:
+    peak tape = spp_chunk x max_depth rows. Gradients equal the
+    full-tape kernel's exactly per chunk (the chunk sum order can differ
+    from a one-shot run by f32 addition order only).
+
+    g_fb is the loss cotangent on the RAW SAMPLE SUMS frame [H, W, 3]
+    (the render_frame_pallas contract). Textured scenes ride the
+    recorded texture-multiplier tape, same semantics as mode="replay".
+    Runs as a host loop of jitted chunk steps — use it for big shapes;
+    for tapes that fit, mode="replay-kernel" is one fused graph.
+    """
+    from tracer.pallas import megakernel
+
+    assert spp % spp_chunk == 0, f"spp {spp} % spp_chunk {spp_chunk} != 0"
+    g_scene = g_cam = None
+    for c in range(spp // spp_chunk):
+        out = megakernel.render_frame_pallas_record(
+            scene, cam, width, height, spp_chunk, max_depth,
+            reference_quirk=reference_quirk, interpret=interpret,
+            sample_start=c * spp_chunk, rr_start=rr_start,
+        )
+        idx = out[1]
+        tex = out[2] if len(out) == 3 else None
+        gs, gc, _ = scene_cam_grads(
+            scene, cam, idx, g_fb, width, height, spp_chunk, max_depth,
+            reference_quirk=reference_quirk, rr_start=rr_start,
+            sample_start=c * spp_chunk, tex_tape=tex, interpret=interpret,
+        )
+        if g_scene is None:
+            g_scene, g_cam = gs, gc
+        else:
+            g_scene = jax.tree.map(_acc_grad, g_scene, gs)
+            g_cam = jax.tree.map(_acc_grad, g_cam, gc)
+    return g_scene, g_cam
+
+
+def _acc_grad(a, b):
+    if not hasattr(a, "dtype") or a.dtype == jax.dtypes.float0:
+        return a  # int leaves (mtype, indices) carry float0 cotangents
+    return a + b
+
+
+def l2_grads_deep(scene: Scene, cam, target, width: int, height: int,
+                  spp: int, max_depth: int, spp_chunk: int = 4,
+                  reference_quirk: bool = True, rr_start=None,
+                  interpret=False, fwd_spp_chunk=None):
+    """(loss, d(scene), d(cam)) for mean((fb/spp - target)^2) at any depth.
+
+    Phase 1 renders the frame with the plain persistent kernel (no tape)
+    to evaluate the loss and its frame cotangent; phase 2 accumulates
+    gradients chunk-by-chunk via scene_grads_chunked. Total cost is
+    ~2x forward + backward regardless of spp/depth — this is the honest
+    north-star shape (1080p, 64 spp, depth 50) made tractable.
+    """
+    from tracer.pallas import megakernel
+
+    # fwd_spp_chunk bounds single-dispatch duration on huge frames (see
+    # dist.sharding.l2_grads_deep_sharded — a ~190 s dispatch crashed
+    # the tunneled TPU worker); summed chunk frames are the identical
+    # estimator up to f32 addition order.
+    if fwd_spp_chunk and fwd_spp_chunk < spp:
+        assert spp % fwd_spp_chunk == 0
+        fb = None
+        for c in range(spp // fwd_spp_chunk):
+            part = megakernel.render_frame_pallas(
+                scene, cam, width, height, fwd_spp_chunk, max_depth,
+                reference_quirk=reference_quirk, interpret=interpret,
+                rr_start=rr_start, sample_start=jnp.int32(c * fwd_spp_chunk),
+            )
+            fb = part if fb is None else fb + part
+    else:
+        fb = megakernel.render_frame_pallas(
+            scene, cam, width, height, spp, max_depth,
+            reference_quirk=reference_quirk, interpret=interpret,
+            rr_start=rr_start,
+        )
+
+    def loss_of(fb):
+        return jnp.mean((fb / spp - jnp.asarray(target, jnp.float32)) ** 2)
+
+    loss, loss_vjp = jax.vjp(loss_of, fb)
+    (g_fb,) = loss_vjp(jnp.ones((), jnp.float32))
+    g_scene, g_cam = scene_grads_chunked(
+        scene, cam, g_fb, width, height, spp, max_depth, spp_chunk,
+        reference_quirk=reference_quirk, rr_start=rr_start,
+        interpret=interpret,
+    )
+    return loss, g_scene, g_cam

@@ -205,17 +205,26 @@ _render_remat_diff.defvjp(_remat_fwd, _remat_bwd)
 
 
 def render_frame_diff(scene, cam, width, height, spp, max_depth,
-                      reference_quirk=True, mode="replay", rr_start=None):
+                      reference_quirk=True, mode="replay-kernel",
+                      rr_start=None):
     """Raw sample sums [H, W, 3]; forward = Pallas, backward = `mode`.
 
-    mode="replay" (default): the fast backward. On textured scenes the
-    recorded texture-multiplier tape replaces in-replay sampling —
-    material gradients are exact, but geometry gradients on textured
-    surfaces lose the d(texel)/d(uv) term (the texel value is frozen at
-    the recorded hit). mode="replay-sample" keeps that term via live
-    bilinear sampling (texture IMAGE still stop-gradded; much slower on
-    TPU — per-ray gathers). mode="remat" is the full oracle including
-    texture-image gradients.
+    mode="replay-kernel" (default since round 3): the fused Pallas
+    backward — measured 18.0 vs 11.9 Mrays/s fwd+bwd on v5e at 800x600
+    spp32 d8, and the VJP compiles in ~15 s where the XLA replay took
+    494-682 s through the tunneled compiler. Same gradient definition as
+    "replay" (the kernel `jax.vjp`s the same ops; tests pin both against
+    remat and finite differences), including the texture-multiplier tape
+    semantics on textured scenes.
+
+    mode="replay": the round-2 XLA replay backward, kept as the
+    cross-check. On textured scenes the recorded texture-multiplier tape
+    replaces in-replay sampling — material gradients are exact, but
+    geometry gradients on textured surfaces lose the d(texel)/d(uv) term
+    (the texel value is frozen at the recorded hit). mode="replay-sample"
+    keeps that term via live bilinear sampling (texture IMAGE still
+    stop-gradded; much slower on TPU — per-ray gathers). mode="remat" is
+    the full oracle including texture-image gradients.
     """
     fn = {"replay": _render_replay_diff,
           "replay-sample": _render_replay_sample_diff,

@@ -472,7 +472,8 @@ def _tex_addressing(u, v, th, tw):
     return x0, y0, x1, y1, dx, dy
 
 
-def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
+def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps,
+                      want_grad=False):
     """Bilinear fetch from an HBM-resident texture of ANY size.
 
     TPU-native replacement for CUDA's hardware tex2D + texture cache
@@ -495,24 +496,32 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
     bh3 = 3 * TEX_BH
 
     x0, y0, x1, y1, dxw, dyw = _tex_addressing(u_all, v_all, th, tw)
+    # per-corner bilinear weight and its px/py derivatives (bilinear is
+    # separately linear in px and py; want_grad accumulates Sum dw/dpx*V
+    # and Sum dw/dpy*V alongside Sum w*V — the recording tape's exact
+    # d(texel)/d(uv) source, no extra DMA or matmul)
     corners = (
-        (y0, x0, (1.0 - dxw) * (1.0 - dyw)),
-        (y0, x1, dxw * (1.0 - dyw)),
-        (y1, x0, (1.0 - dxw) * dyw),
-        (y1, x1, dxw * dyw),
+        (y0, x0, (1.0 - dxw) * (1.0 - dyw), -(1.0 - dyw), -(1.0 - dxw)),
+        (y0, x1, dxw * (1.0 - dyw), (1.0 - dyw), -dxw),
+        (y1, x0, (1.0 - dxw) * dyw, -dyw, (1.0 - dxw)),
+        (y1, x1, dxw * dyw, dyw, dxw),
     )
-    bids = [(yc // TEX_BH) * nbx + (xc // 128) for yc, xc, _ in corners]
+    bids = [(yc // TEX_BH) * nbx + (xc // 128) for yc, xc, *_ in corners]
 
     arow = lambda i: aux_ref[i * ps0:(i + 1) * ps0, :]
 
     def aput(i, v):
         aux_ref[i * ps0:(i + 1) * ps0, :] = v
 
-    # aux rows: 0..2 = accumulated rgb, 3..6 = corner-served flags
+    # aux rows: 0..2 = accumulated rgb, 3..6 = corner-served flags,
+    # (want_grad) 7..9 = rgb dT/dpx, 10..12 = rgb dT/dpy
     for c in range(3):
         aput(c, jnp.zeros(ps, jnp.float32))
     for c in range(4):
         aput(3 + c, jnp.where(textured, 0.0, 1.0))
+    if want_grad:
+        for c in range(7, 13):
+            aput(c, jnp.zeros(ps, jnp.float32))
 
     iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
     iota_bh = jax.lax.broadcasted_iota(jnp.int32, (TEX_BH, 1), 0)
@@ -539,8 +548,8 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
         bhi = bfull.astype(jnp.bfloat16).astype(jnp.float32)
         blo = bfull - bhi
 
-        ohx_parts, ohys, hits, ws = [], [], [], []
-        for c, (yc, xc, wc) in enumerate(corners):
+        ohx_parts, ohys, hits, ws, wpx, wpy = [], [], [], [], [], []
+        for c, (yc, xc, wc, wxc, wyc) in enumerate(corners):
             hitc = (arow(3 + c) < 0.5) & (bids[c] == b)
             lx = xc - bx * 128
             ly = yc - by * TEX_BH
@@ -548,6 +557,9 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
             ohys.append((iota_bh == flat(ly)).astype(jnp.float32))
             hits.append(hitc)
             ws.append(flat(jnp.where(hitc, wc, 0.0)))
+            if want_grad:
+                wpx.append(flat(jnp.where(hitc, wxc, 0.0)))
+                wpy.append(flat(jnp.where(hitc, wyc, 0.0)))
         ohx_all = jnp.concatenate(ohx_parts, axis=1)  # (128, 4T)
         col = _dot1(bhi, ohx_all) + _dot1(blo, ohx_all)  # (3*BH, 4T)
 
@@ -560,6 +572,9 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
                     axis=0, keepdims=True,
                 )  # (1, T)
                 aput(ci, arow(ci) + to_px(ws[c] * val))
+                if want_grad:
+                    aput(7 + ci, arow(7 + ci) + to_px(wpx[c] * val))
+                    aput(10 + ci, arow(10 + ci) + to_px(wpy[c] * val))
             aput(3 + c, jnp.where(hits[c], 1.0, arow(3 + c)))
 
     def cond(rem):
@@ -605,13 +620,26 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps):
     # unconditional matmul pairs + one-hot builds cost more than the
     # demand iterations they replace. The loop stays the only server.)
     jax.lax.while_loop(cond, body, unserved_count())
+    if want_grad:
+        return (tuple(arow(c) for c in range(3)),
+                tuple(arow(7 + c) for c in range(3)),
+                tuple(arow(10 + c) for c in range(3)))
     return arow(0), arow(1), arow(2)
 
 
-def _sample_texture(texr_ref, texg_ref, texb_ref, u, v, th, tw):
+def _sample_texture(texr_ref, texg_ref, texb_ref, u, v, th, tw,
+                    want_grad=False):
     """Bilinear texture fetch with tex2D_cpu semantics (materials.h:20-51)
     as two one-hot MXU contractions per channel: wrap addressing, v flip,
-    truncation, neighbor wrap. u/v are flat (1, T); returns 3 x (1, T)."""
+    truncation, neighbor wrap. u/v are flat (1, T); returns 3 x (1, T).
+
+    want_grad=True also returns the texel's PIXEL-space derivatives
+    (dT/dpx, dT/dpy) per channel — bilinear is separately linear in px
+    and py, so these come from the same column contraction with the
+    weight selectors replaced by their derivative (-1 at the near corner,
+    +1 at the far one). One extra matmul per channel (the dpx pass; dpy
+    reuses `col`). The recording kernel puts tw*dT/dpx and -th*dT/dpy on
+    tape so the replay gets EXACT d(texel)/d(uv) without any gathers."""
     hp = jax.lax.Precision.HIGHEST
     u = u - jnp.floor(u)
     v = v - jnp.floor(v)
@@ -628,11 +656,21 @@ def _sample_texture(texr_ref, texg_ref, texb_ref, u, v, th, tw):
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (texr_ref.shape[0], 1), 0)
     rx = jnp.where(iota_w == x0, 1.0 - dx, 0.0) + jnp.where(iota_w == x1, dx, 0.0)
     ry = jnp.where(iota_h == y0, 1.0 - dy, 0.0) + jnp.where(iota_h == y1, dy, 0.0)
+    if want_grad:
+        gx = jnp.where(iota_w == x0, -1.0, 0.0) + jnp.where(iota_w == x1, 1.0, 0.0)
+        gy = jnp.where(iota_h == y0, -1.0, 0.0) + jnp.where(iota_h == y1, 1.0, 0.0)
 
-    out = []
+    out, dpx, dpy = [], [], []
     for ref in (texr_ref, texg_ref, texb_ref):
         col = jnp.dot(ref[:], rx, preferred_element_type=jnp.float32, precision=hp)
         out.append(jnp.sum(ry * col, axis=0, keepdims=True))
+        if want_grad:
+            colg = jnp.dot(ref[:], gx, preferred_element_type=jnp.float32,
+                           precision=hp)
+            dpx.append(jnp.sum(ry * colg, axis=0, keepdims=True))
+            dpy.append(jnp.sum(gy * col, axis=0, keepdims=True))
+    if want_grad:
+        return out, dpx, dpy
     return out
 
 
@@ -644,8 +682,16 @@ def _sample_texture(texr_ref, texg_ref, texb_ref, u, v, th, tw):
 
 def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg, to_px,
            pu=None, pv=None, tex_refs=None, flat=None, big_tex=None, ps=None,
-           rr_start=None, depth=None, rec_rows=1, want_tex_mult=False,
+           rr_start=None, depth=None, rec_rows=1, tape_fields=0,
            sqrt_fn=jnp.sqrt):
+    # tape_fields: texture-tape rows to return for the recording kernel —
+    # 0 = none, 3 = the texel multipliers (round 2), 9 = + d(texel)/du
+    # and d(texel)/dv per channel (round 3: the replay linearizes the
+    # frozen texel around the recorded hit, making geometry gradients on
+    # textured surfaces exact — bilinear is linear in u and v separately
+    # so the first-order term IS the exact derivative at the hit),
+    # 13 = + (x0, y0, fu, fv) addressing rows for texture-IMAGE gradient
+    # scatter epilogues (dL/d corner = bilinear weight x dL/d texel).
     # sqrt_fn: the backward kernel passes vec._sqrt_grad_safe so reverse
     # mode through the masked dielectric branch can't emit 0*inf NaNs at
     # sqrt(0) (grazing rays with ir=1 — the round-2 NaN class); the live
@@ -695,34 +741,65 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
         u_all = jnp.where(is_sph, u_s, to_px(pu))
         v_all = jnp.where(is_sph, v_s, to_px(pv))
 
+        want_grad = tape_fields >= 9
+        tex_du = tex_dv = None
         if big_tex is not None:
             # HBM demand-paged path: the while-loop runs zero iterations
             # when no lane is textured, so no scalar gate is needed
-            tr, tg, tb = _tex_demand_fetch(
-                big_tex, u_all, v_all, textured, flat, to_px, ps
+            th_g, tw_g = big_tex[7], big_tex[8]
+            fetched = _tex_demand_fetch(
+                big_tex, u_all, v_all, textured, flat, to_px, ps,
+                want_grad=want_grad,
             )
+            if want_grad:
+                (tr, tg, tb), dpx3, dpy3 = fetched
+            else:
+                tr, tg, tb = fetched
             tm0 = jnp.where(textured, tr, 1.0)
             tm1 = jnp.where(textured, tg, 1.0)
             tm2 = jnp.where(textured, tb, 1.0)
+            if want_grad:
+                twf, thf = jnp.float32(tw_g), jnp.float32(th_g)
+                tex_du = tuple(jnp.where(textured, d * twf, 0.0) for d in dpx3)
+                tex_dv = tuple(jnp.where(textured, -d * thf, 0.0) for d in dpy3)
         else:
             th, tw = tex_refs[0].shape
+            th_g, tw_g = th, tw
 
             def apply_tex():
-                tr, tg, tb = _sample_texture(
-                    tex_refs[0], tex_refs[1], tex_refs[2], flat(u_all), flat(v_all), th, tw
+                fetched = _sample_texture(
+                    tex_refs[0], tex_refs[1], tex_refs[2], flat(u_all),
+                    flat(v_all), th, tw, want_grad=want_grad,
                 )
+                if want_grad:
+                    (tr, tg, tb), dpx3, dpy3 = fetched
+                else:
+                    tr, tg, tb = fetched
+                    dpx3 = dpy3 = (tr, tg, tb)  # unused
                 m0 = jnp.where(textured, to_px(tr), 1.0)
                 m1 = jnp.where(textured, to_px(tg), 1.0)
                 m2 = jnp.where(textured, to_px(tb), 1.0)
-                return m0, m1, m2
+                if not want_grad:
+                    return m0, m1, m2
+                twf, thf = jnp.float32(tw), jnp.float32(th)
+                return (m0, m1, m2) + tuple(
+                    jnp.where(textured, to_px(d) * twf, 0.0) for d in dpx3
+                ) + tuple(
+                    jnp.where(textured, to_px(d) * -thf, 0.0) for d in dpy3
+                )
 
             ones = jnp.ones_like(al0)
-            tm0, tm1, tm2 = jax.lax.cond(
-                jnp.any(textured), apply_tex, lambda: (ones, ones, ones)
-            )
+            zeros = jnp.zeros_like(al0)
+            neutral = ((ones,) * 3 + (zeros,) * 6) if want_grad else (ones,) * 3
+            tex_out = jax.lax.cond(jnp.any(textured), apply_tex,
+                                   lambda: neutral)
+            tm0, tm1, tm2 = tex_out[:3]
+            if want_grad:
+                tex_du, tex_dv = tex_out[3:6], tex_out[6:9]
         al0, al1, al2 = al0 * tm0, al1 * tm1, al2 * tm2
     else:
         tm0 = tm1 = tm2 = None
+        tex_du = tex_dv = None
 
     # miss -> background (camera.cu:226-229)
     miss = alive & ~hit
@@ -847,11 +924,29 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
         live = live & ~kill
 
     out = (ox, oy, oz), (dx, dy, dz), (b0, b1, b2), (f0, f1, f2), seed, live
-    if want_tex_mult:
-        # per-bounce texture multipliers for the recording tape (the
+    if tape_fields:
+        # per-bounce texture tape rows for the recording kernel (the
         # replay consumes them instead of re-gathering texels — XLA
-        # per-ray texture gathers measured ~10x the whole grad step)
+        # per-ray texture gathers measured ~10x the whole grad step):
+        # fields 0-2 texel multipliers, 3-8 d(texel)/d(u,v) per channel,
+        # 9-12 addressing (x0, y0, fu, fv) for image-gradient scatters.
         ones = jnp.ones_like(t_best)
-        return out + (((tm0, tm1, tm2) if tm0 is not None
-                       else (ones, ones, ones)),)
+        zeros = jnp.zeros_like(t_best)
+        tape = list((tm0, tm1, tm2) if tm0 is not None
+                    else (ones, ones, ones))
+        if tape_fields >= 9:
+            tape += list(tex_du if tex_du is not None else (zeros,) * 3)
+            tape += list(tex_dv if tex_dv is not None else (zeros,) * 3)
+        if tape_fields >= 13:
+            if tm0 is not None:
+                x0a, y0a, _, _, fua, fva = _tex_addressing(
+                    u_all, v_all, th_g, tw_g)
+                tmask = textured
+                tape += [jnp.where(tmask, x0a.astype(jnp.float32), 0.0),
+                         jnp.where(tmask, y0a.astype(jnp.float32), 0.0),
+                         jnp.where(tmask, fua, 0.0),
+                         jnp.where(tmask, fva, 0.0)]
+            else:
+                tape += [zeros] * 4
+        return out + (tuple(tape),)
     return out

@@ -58,6 +58,7 @@ def _kernel(
     cull_group: int = 4,
     rr_start=None,
     no_far: bool = False,
+    tape_fields: int = 3,
 ):
     refs = list(refs)
     cull_scr = None
@@ -80,8 +81,16 @@ def _kernel(
         # 128-px tiles keep the tape row dim == lane dim relayout-free
         assert not persistent or tile_px == 128
         if has_tex:
-            textape_ref = refs.pop()  # [3*spp*max_depth, tile] f32
-            textape_ref[...] = jnp.ones(textape_ref.shape, jnp.float32)
+            # [tape_fields*spp*max_depth, tile] f32; fields 0-2 (texel
+            # multipliers) are neutral at 1.0, derivative/addressing
+            # fields (3+, round 3) at 0.0
+            textape_ref = refs.pop()
+            rows3 = 3 * spp * max_depth
+            textape_ref[0:rows3, :] = jnp.ones((rows3, tile_px), jnp.float32)
+            if tape_fields > 3:
+                rest = (tape_fields - 3) * spp * max_depth
+                textape_ref[rows3:rows3 + rest, :] = jnp.zeros(
+                    (rest, tile_px), jnp.float32)
         idx_ref = refs.pop()  # second output: [spp*max_depth, tile] i32
         idx_ref[...] = jnp.full(idx_ref.shape, -1, jnp.int32)
     tex_refs = None
@@ -356,17 +365,21 @@ def _kernel(
                 (f0, f1, f2), seed, alive, (bgr, bgg, bgb), to_px,
                 pu=pu, pv=pv, tex_refs=tex_refs, flat=flat, big_tex=big, ps=ps,
                 rr_start=rr_start, depth=depth,
-                want_tex_mult=textape_ref is not None,
+                tape_fields=tape_fields if textape_ref is not None else 0,
             )
             if textape_ref is not None:
                 o3, d3, beta, fin, seed, alive2, tms = shade_out
                 # same masked-accumulate scatter as the index tape: the
-                # tape starts at 1.0 and a visited slot adds (tm - 1)
+                # tape starts at its neutral (1.0 for multiplier fields,
+                # 0.0 for derivative/addressing) and a visited slot adds
+                # (value - neutral)
                 rows = spp * max_depth
-                for c in range(3):
+                for c in range(tape_fields):
+                    neutral = 1.0 if c < 3 else 0.0
                     sl = slice(c * rows, (c + 1) * rows)
                     add_c = jnp.where(
-                        took, jnp.broadcast_to(tms[c] - 1.0, (rows, 128)), 0.0)
+                        took, jnp.broadcast_to(tms[c] - neutral, (rows, 128)),
+                        0.0)
                     textape_ref[sl, :] = textape_ref[sl, :] + add_c
                 alive = alive2
             else:
@@ -502,12 +515,12 @@ def _kernel(
                 alive, (bgr, bgg, bgb), to_px,
                 pu=pu, pv=pv, tex_refs=tex_refs, flat=flat, big_tex=big, ps=ps,
                 rr_start=rr_start, depth=depth,
-                want_tex_mult=textape_ref is not None,
+                tape_fields=tape_fields if textape_ref is not None else 0,
             )
             if textape_ref is not None:
                 o3, d3, beta, final, seed, alive, tms = shade_out
                 rows = spp * max_depth
-                for c in range(3):
+                for c in range(tape_fields):
                     textape_ref[pl.ds(c * rows + s * max_depth + depth, 1), :] = tms[c]
             else:
                 o3, d3, beta, final, seed, alive = shade_out

@@ -81,7 +81,7 @@ from tracer.pallas.kernels import _kernel  # noqa: F401
 def _render_brute_jit(
     scene, cam, width, height, spp, max_depth, reference_quirk, interpret,
     tile_px, stratify, sample_block, fast_math, persistent, row_offset=0,
-    rr_start=None, no_far=False,
+    rr_start=None, no_far=False, sample_start=0,
 ):
     """Whole brute path (packing included) under one jit: repeat frames
     dispatch ONE remote call instead of ~30 tiny eager ops (the eager
@@ -90,7 +90,7 @@ def _render_brute_jit(
         scene, cam, width, height, spp, max_depth, reference_quirk,
         interpret, 0, tile_px, stratify, None, sample_block=sample_block,
         fast_math=fast_math, persistent=persistent, row_offset=row_offset,
-        rr_start=rr_start, no_far=no_far,
+        rr_start=rr_start, no_far=no_far, sample_start=sample_start,
     )
 
 
@@ -182,8 +182,15 @@ def render_frame_pallas(
     culled: bool = True,
     cull_group: int = 4,
     rr_start=None,
+    sample_start=0,
 ):
     """Render one frame with the fused megakernel.
+
+    sample_start (traced ok, brute path only) offsets the per-pixel
+    sample stream — render_frame_pallas(spp=k, sample_start=c*k) summed
+    over c equals the one-shot spp=c*k frame up to f32 addition order;
+    used to bound single-dispatch duration on huge frames (a ~190 s
+    single kernel dispatch crashed the tunneled TPU worker at 4K 256spp).
 
     rr_start (int, default None=off) enables throughput Russian roulette
     from that bounce index on — unbiased path termination for deep
@@ -235,8 +242,10 @@ def render_frame_pallas(
         return _render_brute_jit(
             scene, cam, width, height, spp, max_depth, reference_quirk,
             interpret, tile_px, stratify, sample_block, fast_math, persistent,
-            rr_start=rr_start, no_far=no_far,
+            rr_start=rr_start, no_far=no_far, sample_start=sample_start,
         )
+    if not (isinstance(sample_start, int) and sample_start == 0):
+        raise PallasUnsupported("sample_start: brute path only")
     key = (_scene_fingerprint(scene), cluster_k)
     tables = _CLUSTER_TABLE_CACHE.get(key)
     if tables is None:
@@ -260,14 +269,14 @@ def render_frame_pallas(
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
-        "tile_px", "stratify", "fast_math", "persistent", "sample_start",
-        "rr_start",
+        "tile_px", "stratify", "fast_math", "persistent",
+        "rr_start", "tape_fields",
     ),
 )
 def render_frame_pallas_record(
     scene, cam, width, height, spp, max_depth, reference_quirk=True,
     interpret=False, tile_px=128, stratify=False, fast_math=False,
-    sample_start=0, persistent=True, rr_start=None,
+    sample_start=0, persistent=True, rr_start=None, tape_fields=3,
 ):
     """Forward render that ALSO records the per-bounce winner primitive
     index: returns (fb [H,W,3], idx [spp, max_depth, H*W] i32, -1=miss);
@@ -292,6 +301,7 @@ def render_frame_pallas_record(
         interpret, 0, tile_px, stratify, None, sample_block=1,
         fast_math=fast_math, persistent=persistent and tile_px == 128,
         record_idx=True, sample_start=sample_start, rr_start=rr_start,
+        tape_fields=tape_fields,
     )
 
 
@@ -323,7 +333,7 @@ def _render_frame_impl(
     interpret, cluster_k, tile_px, stratify, tables, textures=None,
     sample_block=1, fast_math=False, persistent=False, row_offset=0,
     record_idx=False, sample_start=0, culled=False, cull_group=4,
-    rr_start=None, no_far=False,
+    rr_start=None, no_far=False, tape_fields=3,
 ):
     # rr_start composes with record_idx (round 3): the RR kill decision is
     # a deterministic function of the recorded streams (beta replays
@@ -388,6 +398,7 @@ def _render_frame_impl(
         record_idx=record_idx,
         rr_start=rr_start,
         no_far=no_far and fast_math,
+        tape_fields=tape_fields,
     )
 
     if cluster_k > 0:
@@ -457,9 +468,12 @@ def _render_frame_impl(
             pltpu.VMEM((ps0, 128), jnp.uint32),        # RNG state
         ]
     if big_tex:
+        # fetch accum + served flags; +6 rows of d(texel)/d(px,py)
+        # accumulators when the tape records uv derivatives
+        aux_rows = 13 if (record_idx and tape_fields >= 9) else 7
         scratch_shapes += [
             pltpu.VMEM((TEX_SLOTS * 3 * TEX_BH, 128), jnp.float32),  # block cache
-            pltpu.VMEM((7 * ps0, 128), jnp.float32),   # fetch accum + served
+            pltpu.VMEM((aux_rows * ps0, 128), jnp.float32),
             pltpu.SMEM((1, TEX_SLOTS), jnp.int32),     # cached block ids
             pltpu.SemaphoreType.DMA,
         ]
@@ -483,12 +497,15 @@ def _render_frame_impl(
             jax.ShapeDtypeStruct((rows, grid * tile_px), jnp.int32),
         ]
         if has_tex:
-            # per-bounce texture multipliers (channel-major rows): the
-            # replay applies these instead of re-gathering texels
-            out_specs.append(pl.BlockSpec((3 * rows, tile_px), lambda g: (0, g),
+            # per-bounce texture tape (channel-major field-row groups):
+            # the replay applies these instead of re-gathering texels;
+            # tape_fields > 3 adds d(texel)/d(uv) and addressing fields
+            out_specs.append(pl.BlockSpec((tape_fields * rows, tile_px),
+                                          lambda g: (0, g),
                                           memory_space=pltpu.VMEM))
             out_shape.append(
-                jax.ShapeDtypeStruct((3 * rows, grid * tile_px), jnp.float32))
+                jax.ShapeDtypeStruct((tape_fields * rows, grid * tile_px),
+                                     jnp.float32))
 
     out = pl.pallas_call(
         kernel,
@@ -510,9 +527,11 @@ def _render_frame_impl(
         idx = idx[:, :num_pixels].reshape(spp, max_depth, num_pixels)
         if textape is None:
             return fb, idx
-        # [spp, max_depth, num_pixels, 3] texture multipliers
+        # [spp, max_depth, num_pixels, tape_fields]: fields 0-2 texel
+        # multipliers; 3-8 d(texel)/d(u,v); 9-12 addressing (x0,y0,fu,fv)
         tex = jnp.moveaxis(
-            textape.reshape(3, spp, max_depth, grid * tile_px)[..., :num_pixels],
+            textape.reshape(tape_fields, spp, max_depth,
+                            grid * tile_px)[..., :num_pixels],
             0, -1)
         return fb, idx, tex
 

@@ -88,12 +88,25 @@ def _bounce(scene: Scene, background, carry, intersector: str, rng_mode: str = "
     active = alive & rec.hit
 
     # Texture-modulated albedo (camera.cu:233-236 / :269-271).
-    # tex_mult ([R, 3]) short-circuits the sampler with a RECORDED
+    # tex_mult ([R, F>=3]) short-circuits the sampler with a RECORDED
     # multiplier (tracer.pallas.replay's tape) — per-ray texture gathers
-    # and their scatter-add transposes are glacial on TPU.
+    # and their scatter-add transposes are glacial on TPU. With F >= 9
+    # the tape also carries d(texel)/d(u,v) and the texel is LINEARIZED
+    # around the recorded hit: texel = tm + du*(u - sg u) + dv*(v - sg v)
+    # — primal unchanged (the added term is exactly 0), but reverse mode
+    # now pulls the EXACT bilinear uv-derivative, so geometry gradients
+    # on textured surfaces no longer lose the d(texel)/d(uv) term that
+    # the frozen-texel tape dropped (round-2 documented approximation).
     albedo = rec.albedo
     if tex_mult is not None:
-        albedo = jnp.where((rec.tex_id >= 0)[..., None], albedo * tex_mult, albedo)
+        tm = tex_mult[..., 0:3]
+        if tex_mult.shape[-1] >= 9:
+            du, dv = tex_mult[..., 3:6], tex_mult[..., 6:9]
+            u = rec.u[..., None]
+            v = rec.v[..., None]
+            tm = (tm + du * (u - jax.lax.stop_gradient(u))
+                  + dv * (v - jax.lax.stop_gradient(v)))
+        albedo = jnp.where((rec.tex_id >= 0)[..., None], albedo * tm, albedo)
     elif scene.textures is not None:
         tex_rgb = texture_mod.sample_bilinear(scene.textures, rec.tex_id, rec.u, rec.v)
         albedo = jnp.where((rec.tex_id >= 0)[..., None], albedo * tex_rgb, albedo)
