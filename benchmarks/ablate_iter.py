@@ -9,10 +9,10 @@ Two controlled workloads with EXACT per-lane iteration counts:
           camera: paths never die, L = max_depth exactly, regen costs
           amortize over L bounces.
 
-The persistent loop executes ceil((spp*L + 1) / U) * U body iterations
-per tile (U = PERSIST_UNROLL; the +1 is the retire-detection pass), so
+Iteration counts are MEASURED per tile with the kernel's debug_iters
+counter (numerical edge deaths make the analytic count optimistic), so
 
-    ns_per_iter = T / (tiles * iters)
+    ns_per_iter = T / sum_tiles(iters_tile)
 
 and a linear fit of ns_per_iter vs n_pad splits the per-prim-row slope
 (the elementwise intersection tests) from the fixed per-iteration
@@ -47,12 +47,13 @@ TILES = (W * H + 127) // 128
 def _scene(n, enclose):
     g = np.random.default_rng(0)
     centers = g.uniform(-20, 20, size=(n, 3)).astype(np.float32)
-    centers[:, 2] = g.uniform(900.0, 1000.0, size=n)  # far behind the view
+    # camera looks along +x (z-up convention): park the field far behind
+    centers[:, 0] = g.uniform(-1000.0, -900.0, size=n)
     radii = g.uniform(0.3, 1.2, size=n).astype(np.float32)
     mat = np.zeros(n, np.int32)
     if enclose:
         centers = np.concatenate([centers, [[0, 0, 0]]]).astype(np.float32)
-        radii = np.concatenate([radii, [1e5]]).astype(np.float32)
+        radii = np.concatenate([radii, [1e4]]).astype(np.float32)
         mat = np.concatenate([mat, [0]]).astype(np.int32)
     spheres = T.make_spheres(centers, radii, mat)
     mats = T.make_materials(
@@ -77,14 +78,10 @@ def _time(fn, *args):
     return best
 
 
-def iters_for(L):
-    u = PERSIST_UNROLL
-    return -(-(SPP * L + 1) // u) * u
-
-
 def main():
-    cam = C.build_camera_data([0, 0, 0], [0, 0, -10], W, H, 60.0,
+    cam = C.build_camera_data([0, 0, 0], [10, 0, 0], W, H, 60.0,
                               background=(0.5, 0.6, 0.7))
+    assert not np.isnan(np.asarray(cam.pixel00_loc)).any(), "degenerate camera"
     print("workload\tn\tn_pad\ts\tns_per_iter", flush=True)
     rows = {"miss": [], "lam": []}
     for n in (1, 64, 128, 256, 512, 1024, 2048):
@@ -97,7 +94,11 @@ def main():
                 scene, c, W, H, spp=SPP, max_depth=md, fast_math=True,
             )
             t = _time(fn, cam)
-            iters = iters_for(L)
+            dbg = np.asarray(megakernel.render_frame_pallas(
+                scene, cam, W, H, spp=SPP, max_depth=md, fast_math=True,
+                debug_iters=True))
+            iters = float(dbg[:, :, 0].mean())  # every pixel carries its
+            # tile's count, so the pixel mean IS the tile mean
             nspi = t / (TILES * iters) * 1e9
             n_tot = n + (1 if enclose else 0)
             rows[wl].append((_round_up(max(n_tot, 8), 8), nspi))

@@ -59,6 +59,7 @@ def _kernel(
     rr_start=None,
     no_far: bool = False,
     tape_fields: int = 3,
+    debug_iters: bool = False,
 ):
     refs = list(refs)
     cull_scr = None
@@ -402,7 +403,23 @@ def _kernel(
                     remaining = inner(remaining)
                 return remaining
 
-        jax.lax.while_loop(cond, body, jnp.sum(valid.astype(jnp.int32)))
+        if debug_iters:
+            # diagnostic: count executed loop bodies; write into the R
+            # channel (image becomes the per-tile iteration count)
+            body2 = body
+
+            def cond2(st):
+                return st[0] > 0
+
+            def body3(st):
+                return (body2(st[0]), st[1] + 1)
+
+            st = jax.lax.while_loop(
+                cond2, body3, (jnp.sum(valid.astype(jnp.int32)), jnp.int32(0)))
+            put(F_A + 0, jnp.broadcast_to(
+                st[1].astype(jnp.float32) * jnp.float32(PERSIST_UNROLL), ps))
+        else:
+            jax.lax.while_loop(cond, body, jnp.sum(valid.astype(jnp.int32)))
         # one more fold: the final sample of each lane ended inside the
         # last iterations with its radiance still in `final`... no — the
         # fold happens at the top of the NEXT iteration, and a lane only

@@ -75,13 +75,13 @@ from tracer.pallas.kernels import _kernel  # noqa: F401
     static_argnames=(
         "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
         "tile_px", "stratify", "sample_block", "fast_math", "persistent",
-        "rr_start", "no_far",
+        "rr_start", "no_far", "debug_iters",
     ),
 )
 def _render_brute_jit(
     scene, cam, width, height, spp, max_depth, reference_quirk, interpret,
     tile_px, stratify, sample_block, fast_math, persistent, row_offset=0,
-    rr_start=None, no_far=False, sample_start=0,
+    rr_start=None, no_far=False, sample_start=0, debug_iters=False,
 ):
     """Whole brute path (packing included) under one jit: repeat frames
     dispatch ONE remote call instead of ~30 tiny eager ops (the eager
@@ -91,6 +91,7 @@ def _render_brute_jit(
         interpret, 0, tile_px, stratify, None, sample_block=sample_block,
         fast_math=fast_math, persistent=persistent, row_offset=row_offset,
         rr_start=rr_start, no_far=no_far, sample_start=sample_start,
+        debug_iters=debug_iters,
     )
 
 
@@ -183,6 +184,7 @@ def render_frame_pallas(
     cull_group: int = 4,
     rr_start=None,
     sample_start=0,
+    debug_iters: bool = False,
 ):
     """Render one frame with the fused megakernel.
 
@@ -243,6 +245,7 @@ def render_frame_pallas(
             scene, cam, width, height, spp, max_depth, reference_quirk,
             interpret, tile_px, stratify, sample_block, fast_math, persistent,
             rr_start=rr_start, no_far=no_far, sample_start=sample_start,
+            debug_iters=debug_iters,
         )
     if not (isinstance(sample_start, int) and sample_start == 0):
         raise PallasUnsupported("sample_start: brute path only")
@@ -333,7 +336,7 @@ def _render_frame_impl(
     interpret, cluster_k, tile_px, stratify, tables, textures=None,
     sample_block=1, fast_math=False, persistent=False, row_offset=0,
     record_idx=False, sample_start=0, culled=False, cull_group=4,
-    rr_start=None, no_far=False, tape_fields=3,
+    rr_start=None, no_far=False, tape_fields=3, debug_iters=False,
 ):
     # rr_start composes with record_idx (round 3): the RR kill decision is
     # a deterministic function of the recorded streams (beta replays
@@ -399,6 +402,7 @@ def _render_frame_impl(
         rr_start=rr_start,
         no_far=no_far and fast_math,
         tape_fields=tape_fields,
+        debug_iters=debug_iters,
     )
 
     if cluster_k > 0:
