@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import collections
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,8 +56,8 @@ RR_MIN_P = 0.05  # Russian-roulette survival floor (caps 1/p at 20x)
 # (TEX_BH x 128) blocks per channel. Smaller blocks + more slots beat the
 # original 2 x (128x128): a coherent tile touches 2-4 distinct blocks per
 # bounce, so per-fetch bytes (3 x TEX_BH x 128 x 4B) dominate the loop.
-TEX_BH = 32
-TEX_SLOTS = 16
+TEX_BH = int(os.environ.get("TRACER_TEX_BH", "32"))
+TEX_SLOTS = int(os.environ.get("TRACER_TEX_SLOTS", "16"))
 # persistent-loop body unroll: >1 amortizes the while-loop's scalar
 # overhead (cond reduction + branch) over several bounces per iteration
 PERSIST_UNROLL = 4
@@ -490,8 +491,8 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps,
     contraction against a bf16 hi/lo split of the block, which
     reconstructs the f32 texels exactly.
     """
-    (tr_hbm, tg_hbm, tb_hbm, blk_ref, aux_ref, cached_ref, sem,
-     th, tw, nbx) = big_tex
+    (tex_hbm, blk_ref, aux_ref, cached_ref, sem,
+     th, tw, nbx, debug_stats) = big_tex
     ps0, flat_n = ps[0], ps[0] * 128
     bh3 = 3 * TEX_BH
 
@@ -536,11 +537,18 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps,
         """Serve every unserved corner living in block `b` (scalar id)
         from the cache lines at blk_ref[base:base+3*TEX_BH].
 
-        One matmul pair serves ALL 4 corners x 3 channels: channels are
-        stacked on the block's sublanes (384 rows) and the 4 corner
-        one-hots concatenate on the lane dim (128, 4T) — 2 bf16 passes
-        per visit instead of 24 tiny ones. The hi/lo split keeps the
-        0/1 selection EXACT in f32.
+        The serve iteration is the ENTIRE texture tax (measured round 4:
+        demand iterations x ~620 ns explain the 19.7-vs-37.5 Mrays/s gap;
+        DMA misses are secondary — doubling the cache slots moved
+        nothing). Two width cuts keep it lean: corner pairs (0,2)/(1,3)
+        share their x column, so ONE matmul pair against a (128, 2T)
+        one-hot serves all 4 corners (was 4T); and the bilinear weights
+        fold into the row selectors, so each channel accumulates with a
+        single fused reduce instead of per-corner VMEM round-trips. The
+        hi/lo split keeps the 0/1 column selection EXACT in f32.
+
+        Returns the number of corners served (the demand loop carries
+        the remaining count down instead of recounting the flags).
         """
         by = b // nbx
         bx = b - by * nbx
@@ -548,34 +556,40 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps,
         bhi = bfull.astype(jnp.bfloat16).astype(jnp.float32)
         blo = bfull - bhi
 
-        ohx_parts, ohys, hits, ws, wpx, wpy = [], [], [], [], [], []
-        for c, (yc, xc, wc, wxc, wyc) in enumerate(corners):
-            hitc = (arow(3 + c) < 0.5) & (bids[c] == b)
-            lx = xc - bx * 128
-            ly = yc - by * TEX_BH
-            ohx_parts.append((iota128 == flat(lx)).astype(jnp.float32))
-            ohys.append((iota_bh == flat(ly)).astype(jnp.float32))
-            hits.append(hitc)
-            ws.append(flat(jnp.where(hitc, wc, 0.0)))
-            if want_grad:
-                wpx.append(flat(jnp.where(hitc, wxc, 0.0)))
-                wpy.append(flat(jnp.where(hitc, wyc, 0.0)))
-        ohx_all = jnp.concatenate(ohx_parts, axis=1)  # (128, 4T)
-        col = _dot1(bhi, ohx_all) + _dot1(blo, ohx_all)  # (3*BH, 4T)
+        hits = [(arow(3 + c) < 0.5) & (bids[c] == b) for c in range(4)]
+        # columns: corners (0,2) share x0, (1,3) share x1 (same x-block,
+        # so one in-range lx serves both); out-of-block lx one-hots are
+        # all-zero and the hit-masked weights keep them inert
+        ohx = jnp.concatenate([
+            (iota128 == flat(x0 - bx * 128)).astype(jnp.float32),
+            (iota128 == flat(x1 - bx * 128)).astype(jnp.float32)], axis=1)
+        col = _dot1(bhi, ohx) + _dot1(blo, ohx)  # (3*BH, 2T)
+        ohy0 = (iota_bh == flat(y0 - by * TEX_BH)).astype(jnp.float32)
+        ohy1 = (iota_bh == flat(y1 - by * TEX_BH)).astype(jnp.float32)
+
+        def fused(widx):
+            """Weight-folded row selectors: (col-x0, col-x1) pair whose
+            single reduce per channel yields Sum_corner w*texel."""
+            w = [flat(jnp.where(hits[c], corners[c][widx], 0.0))
+                 for c in range(4)]
+            return ohy0 * w[0] + ohy1 * w[2], ohy0 * w[1] + ohy1 * w[3]
 
         tn = flat_n
+        sels = [(0, fused(2))]
+        if want_grad:
+            sels += [(7, fused(3)), (10, fused(4))]
+        for ci in range(3):
+            c0 = col[ci * TEX_BH:(ci + 1) * TEX_BH, 0:tn]
+            c1 = col[ci * TEX_BH:(ci + 1) * TEX_BH, tn:2 * tn]
+            for off, (wa, wb) in sels:
+                add = jnp.sum(wa * c0 + wb * c1, axis=0, keepdims=True)
+                aput(off + ci, arow(off + ci) + to_px(add))
+
+        served = jnp.int32(0)
         for c in range(4):
-            colc = col[:, c * tn:(c + 1) * tn]
-            for ci in range(3):
-                val = jnp.sum(
-                    ohys[c] * colc[ci * TEX_BH:(ci + 1) * TEX_BH, :],
-                    axis=0, keepdims=True,
-                )  # (1, T)
-                aput(ci, arow(ci) + to_px(ws[c] * val))
-                if want_grad:
-                    aput(7 + ci, arow(7 + ci) + to_px(wpx[c] * val))
-                    aput(10 + ci, arow(10 + ci) + to_px(wpy[c] * val))
             aput(3 + c, jnp.where(hits[c], 1.0, arow(3 + c)))
+            served = served + jnp.sum(hits[c].astype(jnp.int32))
+        return served
 
     def cond(rem):
         return rem > 0
@@ -596,24 +610,26 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps,
         slot = (bx + 3 * by) % TEX_SLOTS
         base = slot * bh3
 
+        if debug_stats:
+            cached_ref[0, TEX_SLOTS] = cached_ref[0, TEX_SLOTS] + 1
+
         @pl.when(b != cached_ref[0, slot])
         def _fetch():
-            copies = [
-                pltpu.make_async_copy(
-                    src.at[pl.ds(by * TEX_BH, TEX_BH), pl.ds(bx * 128, 128)],
-                    blk_ref.at[pl.ds(base + ci * TEX_BH, TEX_BH), :],
-                    sem,
-                )
-                for ci, src in enumerate((tr_hbm, tg_hbm, tb_hbm))
-            ]
-            for cp in copies:
-                cp.start()
-            for cp in copies:
-                cp.wait()
+            if debug_stats:
+                cached_ref[0, TEX_SLOTS + 1] = cached_ref[0, TEX_SLOTS + 1] + 1
+            # the texture is pre-blocked in HBM (block b = rows
+            # [b*3*BH, (b+1)*3*BH)), so a miss is ONE contiguous DMA
+            # instead of 3 strided row-pitch copies
+            cp = pltpu.make_async_copy(
+                tex_hbm.at[pl.ds(b * bh3, bh3), :],
+                blk_ref.at[pl.ds(base, bh3), :],
+                sem,
+            )
+            cp.start()
+            cp.wait()
             cached_ref[0, slot] = b
 
-        serve(b, base)
-        return unserved_count()
+        return rem - serve(b, base)
 
     # (A straight-line "warm pass" serving both cached slots before the
     # loop was measured SLOWER on hardware — 16.0 vs 17.7 Mrays/s: the

@@ -97,15 +97,20 @@ def _kernel(
     tex_refs = None
     big = None
     if has_tex:
-        t3 = tuple(refs[-4:-1])
-        del refs[-4:-1]
         if big_tex:
+            # ONE pre-blocked HBM ref (block-major: rows [b*3*BH, ...))
+            t1 = refs[-2]
+            del refs[-2]
             nbx = _round_up(tex_tw, 128) // 128
-            big = t3 + tex_scr + (tex_th, tex_tw, nbx)
+            big = (t1,) + tex_scr + (tex_th, tex_tw, nbx, debug_iters)
             for _sl in range(TEX_SLOTS):  # invalidate every cache slot
                 tex_scr[2][0, _sl] = -1
+            if debug_iters:  # zero the demand-iter / DMA-miss counters
+                tex_scr[2][0, TEX_SLOTS] = 0
+                tex_scr[2][0, TEX_SLOTS + 1] = 0
         else:
-            tex_refs = t3
+            tex_refs = tuple(refs[-4:-1])
+            del refs[-4:-1]
     if clustered:
         cbox_ref, proj_ref, const_ref, join_ref, out_ref = refs
     else:
@@ -418,6 +423,12 @@ def _kernel(
                 cond2, body3, (jnp.sum(valid.astype(jnp.int32)), jnp.int32(0)))
             put(F_A + 0, jnp.broadcast_to(
                 st[1].astype(jnp.float32) * jnp.float32(PERSIST_UNROLL), ps))
+            if big is not None:
+                # G = texture demand-loop iterations, B = DMA misses
+                put(F_A + 1, jnp.broadcast_to(
+                    tex_scr[2][0, TEX_SLOTS].astype(jnp.float32), ps))
+                put(F_A + 2, jnp.broadcast_to(
+                    tex_scr[2][0, TEX_SLOTS + 1].astype(jnp.float32), ps))
         else:
             jax.lax.while_loop(cond, body, jnp.sum(valid.astype(jnp.int32)))
         # one more fold: the final sample of each lane ended inside the

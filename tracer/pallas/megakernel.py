@@ -452,14 +452,21 @@ def _render_frame_impl(
     if has_tex:
         tex = tex_src[0]
         if big_tex:
-            thp, twp = _round_up(th, 128), _round_up(tw, 128)
-            chans = tuple(
-                jnp.zeros((thp, twp), jnp.float32).at[:th, :tw].set(tex[:, :, c])
-                for c in range(3)
+            # pre-block the texture so one cache miss = ONE contiguous DMA
+            # of [r; g; b] block rows (3 strided row-pitch copies cost
+            # more DMA descriptors for the same bytes)
+            thp, twp = _round_up(th, TEX_BH), _round_up(tw, 128)
+            nby, nbxp = thp // TEX_BH, twp // 128
+            chan = jnp.zeros((3, thp, twp), jnp.float32).at[
+                :, :th, :tw].set(jnp.moveaxis(tex, -1, 0))
+            blocked = (
+                chan.reshape(3, nby, TEX_BH, nbxp, 128)
+                .transpose(1, 3, 0, 2, 4)  # (nby, nbx, chan, BH, 128)
+                .reshape(nby * nbxp * 3 * TEX_BH, 128)
             )
-            inputs = inputs + chans
+            inputs = inputs + (blocked,)
             # ANY keeps the texture in HBM; the kernel DMAs blocks on demand
-            in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)] * 3
+            in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
         else:
             inputs = inputs + (tex[:, :, 0], tex[:, :, 1], tex[:, :, 2])
             in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
@@ -478,7 +485,8 @@ def _render_frame_impl(
         scratch_shapes += [
             pltpu.VMEM((TEX_SLOTS * 3 * TEX_BH, 128), jnp.float32),  # block cache
             pltpu.VMEM((aux_rows * ps0, 128), jnp.float32),
-            pltpu.SMEM((1, TEX_SLOTS), jnp.int32),     # cached block ids
+            # cached block ids + 2 debug counters (demand iters, DMA misses)
+            pltpu.SMEM((1, TEX_SLOTS + 2), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ]
     if culled:
