@@ -174,7 +174,8 @@ def _measure() -> int:
         gw, gh, gspp, gdepth = 800, 600, 32, 8
 
         def loss(scene, cam):
-            fb = pallas_diff.render_frame_diff(scene, cam, gw, gh, gspp, gdepth)
+            fb = pallas_diff.render_frame_diff(scene, cam, gw, gh, gspp, gdepth,
+                                               fast_math=True)
             return jnp.mean(fb * fb)
 
         grad_fn = jax.jit(jax.grad(loss, allow_int=True))
@@ -187,13 +188,14 @@ def _measure() -> int:
         best = _time_frames(lambda cam: run_grad(cam),
                             lambda k: cam_at(k, gw, gh))
         _emit("fwdbwd_mrays_per_s", gw * gh * gspp / best / 1e6,
-              {"engine": "pallas+bwdkernel", "shape": f"{gw}x{gh}x{gspp}spp d{gdepth}"})
+              {"engine": "pallas+bwdkernel+fm",
+               "shape": f"{gw}x{gh}x{gspp}spp d{gdepth}"})
 
         # 3b. fwd+bwd with Russian roulette (round 3: rr composes with
         #     record/replay — kill decisions are recomputed in the replay)
         def loss_rr(scene, cam):
             fb = pallas_diff.render_frame_diff(scene, cam, gw, gh, gspp, gdepth,
-                                               rr_start=3)
+                                               rr_start=3, fast_math=True)
             return jnp.mean(fb * fb)
 
         grad_rr = jax.jit(jax.grad(loss_rr, allow_int=True))
@@ -205,7 +207,7 @@ def _measure() -> int:
 
         best = _time_frames(run_grad_rr, lambda k: cam_at(k, gw, gh))
         _emit("fwdbwd_rr_mrays_per_s", gw * gh * gspp / best / 1e6,
-              {"engine": "pallas+bwdkernel", "rr_start": 3,
+              {"engine": "pallas+bwdkernel+fm", "rr_start": 3,
                "shape": f"{gw}x{gh}x{gspp}spp d{gdepth}"})
     except Exception as e:
         print(f"fwd+bwd bench failed: {type(e).__name__}: {e}", file=sys.stderr)
@@ -223,13 +225,14 @@ def _measure() -> int:
 
         def run_deep(cam):
             _, gs, _ = pallas_bwd.l2_grads_deep(
-                scene_untex, cam, dtarget, dw, dh, dspp, ddepth, spp_chunk=8)
+                scene_untex, cam, dtarget, dw, dh, dspp, ddepth, spp_chunk=8,
+                fast_math=True)
             float(np.asarray(gs.materials.albedo)[0, 0])
             return gs
 
         best = _time_frames(run_deep, lambda k: cam_at(k, dw, dh), nframes=2)
         _emit("fwdbwd_d50_mrays_per_s", dw * dh * dspp / best / 1e6,
-              {"engine": "pallas+bwdkernel+sppchunk",
+              {"engine": "pallas+bwdkernel+sppchunk+bucketed+fm",
                "shape": f"{dw}x{dh}x{dspp}spp d{ddepth}"})
     except Exception as e:
         print(f"d50 fwd+bwd bench failed: {type(e).__name__}: {e}", file=sys.stderr)
@@ -343,7 +346,8 @@ def _measure() -> int:
                 width=cw, height=ch, vfov=50.0)
 
         def cfg4_loss(scene, cam):
-            fb = pallas_diff.render_frame_diff(scene, cam, cw, ch, cspp, cdepth)
+            fb = pallas_diff.render_frame_diff(scene, cam, cw, ch, cspp, cdepth,
+                                               fast_math=True)
             return jnp.mean(fb * fb)
 
         cfg4_grad = jax.jit(jax.grad(cfg4_loss, allow_int=True))
@@ -356,7 +360,7 @@ def _measure() -> int:
 
         best = _time_frames(run_cfg4, cfg4_cam)
         _emit("fwdbwd_textured_mrays_per_s", cw * ch * cspp / best / 1e6,
-              {"engine": "pallas+bwdkernel+textape",
+              {"engine": "pallas+bwdkernel+textape+fm",
                "shape": f"{cw}x{ch}x{cspp}spp d{cdepth}", "spheres": cn})
     except Exception as e:
         print(f"config-4 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
@@ -383,12 +387,12 @@ def _measure() -> int:
         def run_cfg5(cam):
             _, gs, _ = dist_sharding.l2_grads_deep_sharded(
                 big, cam, c5target, c5w, c5h, c5spp, c5depth, mesh1,
-                spp_chunk=4, fwd_spp_chunk=8)
+                spp_chunk=4, fwd_spp_chunk=8, fast_math=True)
             float(np.asarray(gs.materials.albedo)[0, 0])
 
         best = _time_frames(run_cfg5, lambda k: c5cam, nframes=1)
         _emit("fwdbwd_cfg5_mrays_per_s", c5w * c5h * c5spp / best / 1e6,
-              {"engine": "pallas+bwdkernel+sharded+sppchunk",
+              {"engine": "pallas+bwdkernel+sharded+sppchunk+fm",
                "shape": f"{c5w}x{c5h}x{c5spp}spp d{c5depth}", "spheres": 2000,
                "note": "rate matches the as-written 256-spp step (spp-linear)"})
     except Exception as e:

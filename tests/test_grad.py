@@ -471,6 +471,34 @@ class TestChunkedGradients:
                 tol = 1e-5 * max(1.0, float(np.abs(bn).max()))
                 np.testing.assert_allclose(an, bn, atol=tol, rtol=1e-4)
 
+    def test_bucketed_matches_full_tape(self):
+        """Depth-bucketed backward (round 4): tiles gather into static-
+        depth buckets, skipping each tile's provably-dead tail slots
+        (beyond the first all-(-1) tape row every lane is dead, so the
+        skipped vjps are identity on the radiance cotangent and zero on
+        the tables). Must equal the full-depth kernel up to f32
+        addition order. Exercises the scalar-prefetched tile-base path
+        (gathered tiles keep pixel-exact seeds) and the pad tiles."""
+        from tracer.pallas import bwd, megakernel
+
+        scene = _scene()
+        spp, depth = 1, 6  # deep enough that tiles bucket differently
+        g = np.random.default_rng(3)
+        g_fb = jnp.asarray(g.normal(size=(H, W, 3)).astype(np.float32))
+        _, idx = megakernel.render_frame_pallas_record(
+            scene, _cam(), W, H, spp, depth, interpret=True)
+        gs_full, gc_full, _ = bwd.scene_cam_grads(
+            scene, _cam(), idx, g_fb, W, H, spp, depth, interpret=True)
+        gs_b, gc_b = bwd.scene_grads_bucketed(
+            scene, _cam(), idx, g_fb, W, H, spp, depth, interpret=True,
+            buckets=(2, 4, 6))
+        for a, b in zip(jax.tree_util.tree_leaves(gs_b) + jax.tree_util.tree_leaves(gc_b),
+                        jax.tree_util.tree_leaves(gs_full) + jax.tree_util.tree_leaves(gc_full)):
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                an, bn = np.asarray(a), np.asarray(b)
+                tol = 1e-5 * max(1.0, float(np.abs(bn).max()))
+                np.testing.assert_allclose(an, bn, atol=tol, rtol=1e-4)
+
     def test_segmented_backward_matches_unsegmented(self):
         """Depth-segment checkpointing (the VMEM fix that makes d50
         compile: the unrolled vjp residual chain is ~430 KB/bounce, d50

@@ -349,11 +349,13 @@ def scene_grads_replay_sharded(
 @partial(
     jax.jit,
     static_argnames=("width", "height", "rows", "spp_chunk", "max_depth",
-                     "mesh", "reference_quirk", "rr_start", "interpret"),
+                     "mesh", "reference_quirk", "rr_start", "interpret",
+                     "fast_math"),
 )
 def _chunk_cotangents_sharded(scene, cam, tableT, camv, g_pad, sample_start,
                               width, height, rows, spp_chunk, max_depth,
-                              mesh, reference_quirk, rr_start, interpret):
+                              mesh, reference_quirk, rr_start, interpret,
+                              fast_math=False):
     """One spp chunk of the sharded kernel backward: every device records
     its row band's tape and runs the fused backward kernel on it; the two
     cotangent blocks (combined table + camera rows) psum over the mesh.
@@ -379,7 +381,7 @@ def _chunk_cotangents_sharded(scene, cam, tableT, camv, g_pad, sample_start,
             scene, cam, width, rows, spp_chunk, max_depth, reference_quirk,
             interpret, 0, 128, False, None, persistent=True,
             record_idx=True, row_offset=row0, sample_start=ss,
-            rr_start=rr_start,
+            rr_start=rr_start, fast_math=fast_math,
         )
         idx = out[1]
         tex = out[2] if has_tex else None
@@ -413,6 +415,7 @@ def l2_grads_deep_sharded(
     rr_start=None,
     interpret: bool = False,
     fwd_spp_chunk=None,
+    fast_math: bool = False,
 ):
     """(loss, d(scene), d(cam)) for mean((fb/spp - target)^2), sharded AND
     spp-chunked — the BASELINE config-5 runner (2K spheres, 4K render,
@@ -441,7 +444,7 @@ def l2_grads_deep_sharded(
             part = render_frame_pallas_sharded(
                 scene, cam, width, height, fwd_spp_chunk, max_depth, mesh,
                 reference_quirk=reference_quirk, interpret=interpret,
-                tile_px=128, rr_start=rr_start,
+                tile_px=128, rr_start=rr_start, fast_math=fast_math,
                 sample_start=jnp.int32(c * fwd_spp_chunk),
             )
             fb = part if fb is None else fb + part
@@ -449,7 +452,7 @@ def l2_grads_deep_sharded(
         fb = render_frame_pallas_sharded(
             scene, cam, width, height, spp, max_depth, mesh,
             reference_quirk=reference_quirk, interpret=interpret, tile_px=128,
-            rr_start=rr_start,
+            rr_start=rr_start, fast_math=fast_math,
         )
     tgt = jnp.asarray(target, jnp.float32)
 
@@ -467,7 +470,7 @@ def l2_grads_deep_sharded(
         dt, dc = _chunk_cotangents_sharded(
             scene, cam, tableT, camv, g_pad, jnp.int32(c * spp_chunk),
             width, height, rows, spp_chunk, max_depth, mesh,
-            reference_quirk, rr_start, interpret,
+            reference_quirk, rr_start, interpret, fast_math=fast_math,
         )
         if dtable is None:
             dtable, dcam = dt, dc

@@ -177,6 +177,7 @@ def _dot3_lanes(g, onehot):
 
 
 def _bwd_kernel(
+    tbase_ref,    # scalar-prefetch [grid] i32: base pixel id per tile
     params_ref,   # SMEM [1, 24]: slots 15/16 = row_offset / sample_start
     camv_ref,     # VMEM [16, 128]: camera param broadcast rows
     tableT_ref,   # VMEM [TROWS, Npad] combined join+geo table
@@ -208,7 +209,11 @@ def _bwd_kernel(
     fb_ref[...] = jnp.zeros_like(fb_ref)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    lin = pid * 128 + lane
+    # the tile's TRUE base pixel id rides scalar prefetch so depth-
+    # bucketed calls (scene_grads_bucketed) can gather arbitrary tile
+    # subsets while keeping pixel-exact seeds and camera math; plain
+    # band calls pass arange(grid)*128
+    lin = tbase_ref[pid] + lane
     valid = lin < num_pixels
     lin = jnp.minimum(lin, num_pixels - 1)
     row0 = params_ref[0, 15].astype(jnp.int32)
@@ -263,21 +268,32 @@ def _bwd_kernel(
         alive = valid
         seed = seed_r
 
-        def bounce_inputs(d):
-            idx_row = idx_ref[pl.ds(s * max_depth + d, 1), :]
-            hit = idx_row >= 0
-            onehot = ((iota_n == jnp.broadcast_to(idx_row, (n_pad, 128)))
+        def tm_of(d):
+            if not has_textape:
+                return None
+            rows = spp * max_depth
+            return tuple(
+                textape_ref[pl.ds(c * rows + s * max_depth + d, 1), :]
+                for c in range(3)
+            )
+
+        def seg_inputs(lo, hi):
+            """Per-bounce tape joins for bounces [lo, hi) plus the
+            segment one-hot block for the batched cotangent transpose.
+            (Batching the JOIN matmuls into one wide (TROWS, seg*128)
+            contraction was measured SLOWER on v5e — the comb_all
+            slices/concats cost more than the per-matmul overhead they
+            save; only the transpose batches, below, where the lane-dim
+            contraction also fuses the per-bounce dtable accumulates.)"""
+            onehots, per_d = [], []
+            for d in range(lo, hi):
+                idx_row = idx_ref[pl.ds(s * max_depth + d, 1), :]
+                oh = ((iota_n == jnp.broadcast_to(idx_row, (n_pad, 128)))
                       ).astype(jnp.float32)
-            comb_rec = _dot3_join(tableT_ref[...], onehot)
-            if has_textape:
-                rows = spp * max_depth
-                tm = tuple(
-                    textape_ref[pl.ds(c * rows + s * max_depth + d, 1), :]
-                    for c in range(3)
-                )
-            else:
-                tm = None
-            return hit, onehot, comb_rec, tm
+                onehots.append(oh)
+                per_d.append((idx_row >= 0, _dot3_join(tableT_ref[...], oh),
+                              tm_of(d)))
+            return jnp.concatenate(onehots, axis=1), per_d
 
         # ---- forward replay with depth-segment checkpointing ----------
         # The unrolled 50-bounce vjp residual chain is ~430 KB/bounce of
@@ -286,22 +302,26 @@ def _bwd_kernel(
         # saves only each segment's entry state (12 rows + seed + alive),
         # and the reverse sweep recomputes that segment's vjps from its
         # checkpoint. Peak residual stack = seg_size bounces.
+        #
+        # The forward replay STOPS at the last segment's entry: that
+        # segment's reverse rebuild regenerates its bounces anyway, and
+        # the final state (the replayed-frame fold) falls out of it for
+        # free. At max_depth <= seg_size this removes the forward replay
+        # entirely — one of the kernel's ~3 passes (round 4: bwd-alone
+        # 22.1 -> measured after this change below).
         n_seg = -(-max_depth // seg_size)
+        last_lo = (n_seg - 1) * seg_size
         seg_starts = []
-        for d in range(max_depth):
-            if d % seg_size == 0:
-                seg_starts.append((state, seed, alive))
-            hit, _, comb_rec, tm = bounce_inputs(d)
-            state, (seed, alive) = _bounce_fn(
-                comb_rec, bg_rows, state, hit=hit, seed=seed, alive=alive,
-                tm=tm, rr_start=rr_start, depth=d)
-
-        # fold this sample's radiance into the tile framebuffer (the
-        # replayed forward — free validation against the recorded fb)
-        f0, f1, f2 = state[9], state[10], state[11]
-        fb_ref[0:1, :] = fb_ref[0:1, :] + f0
-        fb_ref[1:2, :] = fb_ref[1:2, :] + f1
-        fb_ref[2:3, :] = fb_ref[2:3, :] + f2
+        for si in range(n_seg - 1):
+            seg_starts.append((state, seed, alive))
+            lo = si * seg_size
+            _, per_d = seg_inputs(lo, lo + seg_size)
+            for i, d in enumerate(range(lo, lo + seg_size)):
+                hit, comb_rec, tm = per_d[i]
+                state, (seed, alive) = _bounce_fn(
+                    comb_rec, bg_rows, state, hit=hit, seed=seed,
+                    alive=alive, tm=tm, rr_start=rr_start, depth=d)
+        seg_starts.append((state, seed, alive))  # last segment's entry
 
         # ---- reverse: per segment, rebuild vjps from the checkpoint,
         # then flow the state cotangent back through its bounces --------
@@ -312,21 +332,35 @@ def _bwd_kernel(
             st, sd, al = seg_starts[si]
             lo = si * seg_size
             hi = min(max_depth, lo + seg_size)
+            onehot_seg, per_d = seg_inputs(lo, hi)
             vjps = []
-            for d in range(lo, hi):
-                hit, onehot, comb_rec, tm = bounce_inputs(d)
+            for i, d in enumerate(range(lo, hi)):
+                hit, comb_rec, tm = per_d[i]
                 bounce = functools.partial(
                     _bounce_fn, hit=hit, seed=sd, alive=al, tm=tm,
                     rr_start=rr_start, depth=d,
                 )
                 (st, aux), fvjp = _vjp3(bounce, comb_rec, bg_rows, st)
                 sd, al = aux
-                vjps.append((fvjp, onehot))
+                vjps.append(fvjp)
+            if si == n_seg - 1:
+                # st is the final bounce state: fold this sample's
+                # radiance into the tile framebuffer (the replayed
+                # forward — free validation against the recorded fb)
+                fb_ref[0:1, :] = fb_ref[0:1, :] + st[9]
+                fb_ref[1:2, :] = fb_ref[1:2, :] + st[10]
+                fb_ref[2:3, :] = fb_ref[2:3, :] + st[11]
+            g_combs = [None] * (hi - lo)
             for d in reversed(range(lo, hi)):
-                fvjp, onehot = vjps[d - lo]
-                g_comb, g_bg, g_state = fvjp(g_state)
-                dtable_ref[...] = dtable_ref[...] + _dot3_lanes(g_comb, onehot)
+                g_comb, g_bg, g_state = vjps[d - lo](g_state)
+                g_combs[d - lo] = g_comb
                 g_bg_acc = tuple(a + b for a, b in zip(g_bg_acc, g_bg))
+            # ONE batched cotangent transpose per segment: the lane-dim
+            # contraction sums the per-bounce d(table) contributions
+            # inside the MXU accumulate — seg matmuls and seg table RMWs
+            # become one of each
+            g_all = jnp.concatenate(g_combs, axis=1)  # (TROWS, nb*128)
+            dtable_ref[...] = dtable_ref[...] + _dot3_lanes(g_all, onehot_seg)
 
         # one batched [16, 128] accumulate per sample: 12 camera-gen rows
         # + 3 background rows + a zero pad row (vs 15 separate row RMWs)
@@ -433,7 +467,7 @@ def _bounce_fn(comb_rec, bg_rows, state, *, hit, seed, alive, tm,
                      "rr_start", "strat_k", "interpret", "has_textape",
                      "seg_size"),
 )
-def _bwd_call(params, camv, tableT, idx2, gfb2, textape2, *,
+def _bwd_call(params, tbase, camv, tableT, idx2, gfb2, textape2, *,
               spp, max_depth, width, num_pixels, quirk, rr_start, strat_k,
               interpret, has_textape, seg_size):
     n_pad = tableT.shape[1]
@@ -447,20 +481,22 @@ def _bwd_call(params, camv, tableT, idx2, gfb2, textape2, *,
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec((spp * max_depth, 128), lambda g: (0, g),
+        pl.BlockSpec((spp * max_depth, 128), lambda g, tb: (0, g),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, 128), lambda g: (0, g), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 128), lambda g, tb: (0, g), memory_space=pltpu.VMEM),
     ]
     inputs = [params, camv, tableT, idx2, gfb2]
     if has_textape:
         in_specs.append(pl.BlockSpec((3 * spp * max_depth, 128),
-                                     lambda g: (0, g),
+                                     lambda g, tb: (0, g),
                                      memory_space=pltpu.VMEM))
         inputs.append(textape2)
     out_specs = [
-        pl.BlockSpec((TROWS, n_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((CAMV_ROWS, 128), lambda g: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, 128), lambda g: (0, g), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TROWS, n_pad), lambda g, tb: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((CAMV_ROWS, 128), lambda g, tb: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 128), lambda g, tb: (0, g), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((TROWS, n_pad), jnp.float32),
@@ -469,15 +505,18 @@ def _bwd_call(params, camv, tableT, idx2, gfb2, textape2, *,
     ]
     return pl.pallas_call(
         kernel,
-        grid=(grid,),
-        in_specs=in_specs,
-        out_specs=out_specs,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
         out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(*inputs)
+    )(tbase, *inputs)
 
 
 def scene_cam_grads(scene: Scene, cam: camera_mod.CameraData, idx, g_fb,
@@ -553,13 +592,148 @@ def band_cotangents(tableT, camv, idx, g_fb, width, band_rows, spp, max_depth,
     else:
         t2 = None
 
+    tbase = jnp.arange(grid, dtype=jnp.int32) * 128
     return _bwd_call(
-        params, camv, tableT, idx2, gfb2, t2,
+        params, tbase, camv, tableT, idx2, gfb2, t2,
         spp=spp, max_depth=max_depth, width=width, num_pixels=num_pixels,
         quirk=reference_quirk, rr_start=rr_start, strat_k=strat_k,
         interpret=interpret, has_textape=has_textape,
         seg_size=min(seg_size, max_depth),
     )
+
+
+# ----------------------------------------------------------------------
+# depth-bucketed backward: skip the dead tail of deep tapes
+# ----------------------------------------------------------------------
+
+
+def _needed_depth_per_tile(idx, spp, max_depth, grid):
+    """[grid] i32: bounces a tile actually needs, from the tape alone.
+
+    A lane's last recorded hit row k means bounce k+1 may still add the
+    background (a live miss); every row after the first all-(-1) row of
+    a sample is provably inert (a -1 row kills every lane that reached
+    it: miss -> dead, absorbed -> already dead). Per tile the bound is
+    the max over its samples/lanes. Measured on the canonical d50 tape
+    (1080x720 spp8): mean needed depth 6.2 of 50; per-tile bucketing
+    keeps only ~20% of the slots."""
+    import numpy as np
+
+    pad = grid * 128 - idx.shape[-1]
+    idxp = jnp.pad(idx.reshape(spp, max_depth, -1), ((0, 0), (0, 0), (0, pad)),
+                   constant_values=-1).reshape(spp, max_depth, grid, 128)
+    hit_any = (idxp >= 0).any(axis=3)  # [spp, D, grid]
+    rev = jnp.flip(hit_any, axis=1)
+    last_hit = jnp.where(hit_any.any(axis=1),
+                         max_depth - 1 - jnp.argmax(rev, axis=1), -1)
+    need = jnp.minimum(last_hit + 2, max_depth)  # [spp, grid]
+    return np.asarray(jnp.max(need, axis=0), dtype=np.int32)
+
+
+def _bucket_pitch(n):
+    """Round a bucket's tile count up to a coarse pitch (pow2 below 64,
+    quarter-pow2 granularity above) so the jit cache sees a bounded set
+    of shapes without over-padding small grids."""
+    p = 1
+    while p < n and p < 64:
+        p *= 2
+    while p < n:
+        p2 = p + max(64, p // 4)
+        if p2 >= n:
+            return p2
+        p = p2
+    return p
+
+
+def scene_grads_bucketed(scene: Scene, cam, idx, g_fb, width: int,
+                         height: int, spp: int, max_depth: int,
+                         reference_quirk: bool = True, rr_start=None,
+                         sample_start: int = 0, tex_tape=None,
+                         interpret=False, seg_size: int = 8,
+                         buckets=(4, 8, 16, 24, 36, 50)):
+    """(d(scene), d(cam)) — the band backward, depth-bucketed per tile.
+
+    Gathers each tile into the smallest bucket covering its needed
+    depth (from the tape, _needed_depth_per_tile) and runs one kernel
+    call per non-empty bucket at that STATIC max_depth; the kernel's
+    scalar-prefetched tile-base ids keep pixel-exact seeds under the
+    gather. Dead (s, d) slots beyond a tile's needed depth contribute
+    exactly nothing (their vjps are identity on the radiance cotangent
+    and zero on the tables), so the bucketed cotangents equal the
+    full-depth kernel's up to f32 addition order.
+
+    This is the deep-tape (d50) win: the straight-line kernel cannot
+    skip dead bounces dynamically (unrolled vjps), so the skipping
+    happens at the call layer instead.
+    """
+    import numpy as np
+
+    num_pixels = width * height
+    grid = -(-num_pixels // 128)
+    pad = grid * 128 - num_pixels
+
+    (tableT, camv), vjp_tables = jax.vjp(pack_tables, scene, cam)
+
+    need = _needed_depth_per_tile(idx, spp, max_depth, grid)
+    buckets = sorted(set(min(b, max_depth) for b in buckets))
+    if buckets[-1] < max_depth:
+        buckets.append(max_depth)
+
+    idx3 = jnp.pad(idx.reshape(spp, max_depth, num_pixels),
+                   ((0, 0), (0, 0), (0, pad)),
+                   constant_values=-1).reshape(spp, max_depth, grid, 128)
+    gfb2 = jnp.moveaxis(
+        jnp.asarray(g_fb, jnp.float32).reshape(num_pixels, 3), 0, 1)
+    gfb2 = jnp.pad(gfb2, ((0, 0), (0, pad))).reshape(3, grid, 128)
+    has_textape = tex_tape is not None
+    if has_textape:
+        t3 = jnp.moveaxis(tex_tape.reshape(spp * max_depth, num_pixels, 3),
+                          2, 0).reshape(3, spp, max_depth, num_pixels)
+        t3 = jnp.pad(t3, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                     constant_values=1.0).reshape(3, spp, max_depth, grid, 128)
+
+    params = jnp.concatenate([
+        jnp.zeros((15,), jnp.float32),
+        jnp.zeros((1,), jnp.float32),  # row_offset = 0 (single band)
+        jnp.asarray(sample_start, jnp.float32).reshape(1),
+        jnp.zeros((7,), jnp.float32),
+    ]).reshape(1, 24)
+
+    dtable = jnp.zeros((TROWS, tableT.shape[1]), jnp.float32)
+    dcam = jnp.zeros((CAMV_ROWS, 128), jnp.float32)
+    lo = 0
+    for b in buckets:
+        sel = np.nonzero((need > lo) & (need <= b))[0]
+        lo = b
+        if sel.size == 0:
+            continue
+        nb = _bucket_pitch(sel.size)
+        # pad with repeats of the first tile, cotangent-zeroed below
+        tiles = np.full(nb, sel[0], np.int32)
+        tiles[: sel.size] = sel
+        tiles_d = jnp.asarray(tiles)
+        live = (jnp.arange(nb) < sel.size).astype(jnp.float32)
+
+        idx_b = jnp.take(idx3[:, :b], tiles_d, axis=2)  # [spp, b, nb, 128]
+        idx_b = idx_b.reshape(spp * b, nb * 128)
+        gfb_b = (jnp.take(gfb2, tiles_d, axis=1) * live[None, :, None]
+                 ).reshape(3, nb * 128)
+        if has_textape:
+            t_b = jnp.take(t3[:, :, :b], tiles_d, axis=3).reshape(
+                3 * spp * b, nb * 128)
+        else:
+            t_b = None
+        tbase = tiles_d * 128
+        dt, dc, _ = _bwd_call(
+            params, tbase, camv, tableT, idx_b, gfb_b, t_b,
+            spp=spp, max_depth=b, width=width, num_pixels=num_pixels,
+            quirk=reference_quirk, rr_start=rr_start, strat_k=0,
+            interpret=interpret, has_textape=has_textape,
+            seg_size=min(seg_size, b),
+        )
+        dtable = dtable + dt
+        dcam = dcam + dc
+    return vjp_tables((dtable, dcam))
 
 
 # ----------------------------------------------------------------------
@@ -570,7 +744,7 @@ def band_cotangents(tableT, camv, idx, g_fb, width, band_rows, spp, max_depth,
 def scene_grads_chunked(scene: Scene, cam, g_fb, width: int, height: int,
                         spp: int, max_depth: int, spp_chunk: int = 4,
                         reference_quirk: bool = True, rr_start=None,
-                        interpret=False):
+                        interpret=False, bucketed=None, fast_math=False):
     """(d(scene), d(cam)) with tape memory bounded by `spp_chunk`.
 
     The full-tape VJP needs spp x max_depth i32 rows per pixel — at the
@@ -592,20 +766,34 @@ def scene_grads_chunked(scene: Scene, cam, g_fb, width: int, height: int,
     from tracer.pallas import megakernel
 
     assert spp % spp_chunk == 0, f"spp {spp} % spp_chunk {spp_chunk} != 0"
+    if bucketed is None:
+        # the dead-tail fraction (and so the win) grows with depth; at
+        # shallow depths the gather overhead is not worth it. interpret
+        # mode (CPU tests) defaults off: per-bucket kernel re-traces
+        # cost minutes there and bucketing is pinned by its own test.
+        bucketed = max_depth >= 16 and not interpret
     g_scene = g_cam = None
     for c in range(spp // spp_chunk):
         out = megakernel.render_frame_pallas_record(
             scene, cam, width, height, spp_chunk, max_depth,
             reference_quirk=reference_quirk, interpret=interpret,
             sample_start=c * spp_chunk, rr_start=rr_start,
+            fast_math=fast_math,
         )
         idx = out[1]
         tex = out[2] if len(out) == 3 else None
-        gs, gc, _ = scene_cam_grads(
-            scene, cam, idx, g_fb, width, height, spp_chunk, max_depth,
-            reference_quirk=reference_quirk, rr_start=rr_start,
-            sample_start=c * spp_chunk, tex_tape=tex, interpret=interpret,
-        )
+        if bucketed:
+            gs, gc = scene_grads_bucketed(
+                scene, cam, idx, g_fb, width, height, spp_chunk, max_depth,
+                reference_quirk=reference_quirk, rr_start=rr_start,
+                sample_start=c * spp_chunk, tex_tape=tex, interpret=interpret,
+            )
+        else:
+            gs, gc, _ = scene_cam_grads(
+                scene, cam, idx, g_fb, width, height, spp_chunk, max_depth,
+                reference_quirk=reference_quirk, rr_start=rr_start,
+                sample_start=c * spp_chunk, tex_tape=tex, interpret=interpret,
+            )
         if g_scene is None:
             g_scene, g_cam = gs, gc
         else:
@@ -623,7 +811,8 @@ def _acc_grad(a, b):
 def l2_grads_deep(scene: Scene, cam, target, width: int, height: int,
                   spp: int, max_depth: int, spp_chunk: int = 4,
                   reference_quirk: bool = True, rr_start=None,
-                  interpret=False, fwd_spp_chunk=None):
+                  interpret=False, fwd_spp_chunk=None, fast_math=False,
+                  bucketed=None):
     """(loss, d(scene), d(cam)) for mean((fb/spp - target)^2) at any depth.
 
     Phase 1 renders the frame with the plain persistent kernel (no tape)
@@ -646,13 +835,14 @@ def l2_grads_deep(scene: Scene, cam, target, width: int, height: int,
                 scene, cam, width, height, fwd_spp_chunk, max_depth,
                 reference_quirk=reference_quirk, interpret=interpret,
                 rr_start=rr_start, sample_start=jnp.int32(c * fwd_spp_chunk),
+                fast_math=fast_math,
             )
             fb = part if fb is None else fb + part
     else:
         fb = megakernel.render_frame_pallas(
             scene, cam, width, height, spp, max_depth,
             reference_quirk=reference_quirk, interpret=interpret,
-            rr_start=rr_start,
+            rr_start=rr_start, fast_math=fast_math,
         )
 
     def loss_of(fb):
@@ -663,6 +853,6 @@ def l2_grads_deep(scene: Scene, cam, target, width: int, height: int,
     g_scene, g_cam = scene_grads_chunked(
         scene, cam, g_fb, width, height, spp, max_depth, spp_chunk,
         reference_quirk=reference_quirk, rr_start=rr_start,
-        interpret=interpret,
+        interpret=interpret, fast_math=fast_math, bucketed=bucketed,
     )
     return loss, g_scene, g_cam

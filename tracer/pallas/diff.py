@@ -33,12 +33,12 @@ from tracer.render import renderer
 
 
 def _record(scene, cam, width, height, spp, max_depth, reference_quirk,
-            rr_start=None):
+            rr_start=None, fast_math=False):
     out = megakernel.render_frame_pallas_record(
         scene, cam, width, height, spp, max_depth,
         reference_quirk=reference_quirk,
         interpret=jax.default_backend() == "cpu",
-        rr_start=rr_start,
+        rr_start=rr_start, fast_math=fast_math,
     )
     # textured scenes also record the per-bounce texture multipliers
     # (fb, idx, tex); untextured return (fb, idx)
@@ -133,23 +133,28 @@ _render_replay_diff.defvjp(_replay_fwd, _replay_bwd)
 # the same ops); texture tape semantics identical to "replay".
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _render_kernel_diff(scene, cam, width, height, spp, max_depth,
-                        reference_quirk=True, rr_start=None):
+                        reference_quirk=True, rr_start=None,
+                        fast_math=False):
     fb, _, _ = _record(scene, cam, width, height, spp, max_depth,
-                       reference_quirk, rr_start)
+                       reference_quirk, rr_start, fast_math)
     return fb
 
 
 def _kernel_fwd(scene, cam, width, height, spp, max_depth, reference_quirk,
-                rr_start):
+                rr_start, fast_math):
     fb, idx, tex = _record(scene, cam, width, height, spp, max_depth,
-                           reference_quirk, rr_start)
+                           reference_quirk, rr_start, fast_math)
     return fb, (scene, cam, idx, tex)
 
 
 def _kernel_bwd(width, height, spp, max_depth, reference_quirk, rr_start,
-                residuals, g):
+                fast_math, residuals, g):
+    # fast_math affects only WHICH winners got recorded (razor-edge
+    # flips); given the tape, the backward replays/differentiates the
+    # recorded paths at full precision — the gradient stays a valid
+    # estimator of the fast-math forward's image
     from tracer.pallas import bwd
 
     scene, cam, idx, tex = residuals
@@ -206,7 +211,7 @@ _render_remat_diff.defvjp(_remat_fwd, _remat_bwd)
 
 def render_frame_diff(scene, cam, width, height, spp, max_depth,
                       reference_quirk=True, mode="replay-kernel",
-                      rr_start=None):
+                      rr_start=None, fast_math=False):
     """Raw sample sums [H, W, 3]; forward = Pallas, backward = `mode`.
 
     mode="replay-kernel" (default since round 3): the fused Pallas
@@ -230,5 +235,10 @@ def render_frame_diff(scene, cam, width, height, spp, max_depth,
           "replay-sample": _render_replay_sample_diff,
           "replay-kernel": _render_kernel_diff,
           "remat": _render_remat_diff}[mode]
+    if mode == "replay-kernel":
+        return fn(scene, cam, width, height, spp, max_depth, reference_quirk,
+                  rr_start, fast_math)
+    if fast_math:
+        raise ValueError(f"fast_math requires mode='replay-kernel', not {mode!r}")
     return fn(scene, cam, width, height, spp, max_depth, reference_quirk,
               rr_start)
