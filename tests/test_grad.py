@@ -404,9 +404,61 @@ class TestKernelBackward:
 
         g_k = jax.grad(lambda s: loss(s, "replay-kernel"), allow_int=True)(scene)
         g_r = jax.grad(lambda s: loss(s, "replay"), allow_int=True)(scene)
-        self._cmp(g_k, g_r)
+        g_s = jax.grad(lambda s: loss(s, "replay-sample"), allow_int=True)(scene)
+        # material gradients: all tape modes agree exactly
+        np.testing.assert_allclose(
+            np.asarray(g_k.materials.albedo), np.asarray(g_r.materials.albedo),
+            rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_k.materials.emit), np.asarray(g_r.materials.emit),
+            rtol=1e-4, atol=1e-6)
+        # geometry gradients (round 4): the kernel's 9-field tape
+        # linearizes the texel around the recorded hit, so it keeps the
+        # d(texel)/d(uv) term — it must match the SAMPLING replay (which
+        # has the term live), NOT the frozen 3-field XLA replay
+        np.testing.assert_allclose(
+            np.asarray(g_k.spheres.center), np.asarray(g_s.spheres.center),
+            rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_k.planes.base), np.asarray(g_s.planes.base),
+            rtol=1e-4, atol=1e-6)
         # the tape semantics stop the texture-image gradient, both modes
         assert float(np.abs(np.asarray(g_k.textures)).max()) == 0.0
+
+    def test_textured_grads_big_texture_demand_paged(self):
+        """The same d(texel)/d(uv)-exact geometry gradients through the
+        HBM demand-paged texture path (want_grad=True in
+        _tex_demand_fetch: the fused weight-folded selectors also
+        accumulate the dT/dpx / dT/dpy rows)."""
+        from tracer.pallas import diff as pdiff
+        from tracer.pallas import megakernel
+
+        scene = _scene()
+        g = np.random.default_rng(9)
+        big = megakernel.MAX_TEX_DIM
+        tex = g.uniform(0.2, 1.0, size=(1, big + 20, big + 60, 3)).astype(
+            np.float32)
+        mats = scene.materials
+        tex_id = np.asarray(mats.tex_id).copy()
+        tex_id[0] = 0
+        scene = scene._replace(
+            textures=jnp.asarray(tex),
+            materials=mats._replace(tex_id=jnp.asarray(tex_id)),
+        )
+
+        def loss(scene, mode):
+            fb = pdiff.render_frame_diff(scene, _cam(), W, H, 1, 3,
+                                         mode=mode)
+            return jnp.mean(fb * fb)
+
+        g_k = jax.grad(lambda s: loss(s, "replay-kernel"), allow_int=True)(scene)
+        g_s = jax.grad(lambda s: loss(s, "replay-sample"), allow_int=True)(scene)
+        np.testing.assert_allclose(
+            np.asarray(g_k.spheres.center), np.asarray(g_s.spheres.center),
+            rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_k.materials.albedo), np.asarray(g_s.materials.albedo),
+            rtol=1e-4, atol=1e-6)
 
     def test_kernel_forward_replay_matches_record(self):
         """The kernel's in-flight forward replay (a free output) must

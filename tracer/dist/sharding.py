@@ -382,6 +382,7 @@ def _chunk_cotangents_sharded(scene, cam, tableT, camv, g_pad, sample_start,
             interpret, 0, 128, False, None, persistent=True,
             record_idx=True, row_offset=row0, sample_start=ss,
             rr_start=rr_start, fast_math=fast_math,
+            tape_fields=9 if has_tex else 3,
         )
         idx = out[1]
         tex = out[2] if has_tex else None

@@ -60,8 +60,14 @@ from tracer.pallas.kernel_lib import (
     _U, _rand, _round_up, _shade, _wang_hash,
 )
 
-GROWS = 8  # aux geometry rows appended after JROWS: 0 = plane d
-G_PD = 0
+GROWS = 16  # aux geometry rows appended after JROWS
+G_PD = 0  # plane d
+# plane uv frame (round 4, d(texel)/d(uv) replay): alpha/beta =
+# dot(A/B, hitpoint) - base_a/b with A = cross(v, w), B = cross(w, u)
+# (tracer.geometry.plane.plane_alpha_beta / pack_scene's a_vec/b_vec)
+G_AX, G_AY, G_AZ = 1, 2, 3
+G_BX, G_BY, G_BZ = 4, 5, 6
+G_BA, G_BB = 7, 8
 TROWS = 24 + GROWS  # combined table height (JROWS + geo rows, sublane-aligned)
 CAMV_ROWS = 16  # p00(0:3) du(3:6) dv(6:9) origin(9:12) background(12:15)
 
@@ -123,7 +129,16 @@ def pack_bwd_tables(scene: Scene):
 
     geo = jnp.zeros((GROWS, n_pad), jnp.float32)
     if num_p:
-        geo = geo.at[G_PD, num_s:n].set(pla.d)
+        sl = slice(num_s, n)
+        geo = geo.at[G_PD, sl].set(pla.d)
+        a_vec = vec.cross(pla.v, pla.w)
+        b_vec = vec.cross(pla.w, pla.u)
+        for c, (ga, gb) in enumerate(((G_AX, G_BX), (G_AY, G_BY),
+                                      (G_AZ, G_BZ))):
+            geo = geo.at[ga, sl].set(a_vec[:, c])
+            geo = geo.at[gb, sl].set(b_vec[:, c])
+        geo = geo.at[G_BA, sl].set(jnp.sum(pla.base * a_vec, axis=-1))
+        geo = geo.at[G_BB, sl].set(jnp.sum(pla.base * b_vec, axis=-1))
     return jnp.concatenate([join, geo], axis=0)
 
 
@@ -193,6 +208,7 @@ def _bwd_kernel(
     strat_k: int,
     has_textape: bool,
     seg_size: int,
+    tape_f: int = 3,
 ):
     refs = list(refs)
     textape_ref = refs.pop(0) if has_textape else None
@@ -274,7 +290,7 @@ def _bwd_kernel(
             rows = spp * max_depth
             return tuple(
                 textape_ref[pl.ds(c * rows + s * max_depth + d, 1), :]
-                for c in range(3)
+                for c in range(tape_f)
             )
 
         def seg_inputs(lo, hi):
@@ -432,10 +448,58 @@ def _bounce_fn(comb_rec, bg_rows, state, *, hit, seed, alive, tm,
 
     rec = comb_rec  # extra geo tail rows are inert to _shade (row ids < JROWS)
     if tm is not None:
-        # recorded texture multipliers pre-scale the albedo rows (the
-        # tape freezes texel values — same semantics as the XLA replay)
+        # recorded texture multipliers pre-scale the albedo rows. With a
+        # 3-field tape the texel is frozen (the XLA replay's semantics);
+        # a 9-field tape (round 4) adds the recorded d(texel)/d(u,v), and
+        # the multiplier is linearized around the recorded hit:
+        #   mult = T + dT/du (u - sg u) + dT/dv (v - sg v)
+        # — VALUE-identical to the frozen texel (the deltas are zero),
+        # but the gradient carries the exact d(texel)/d(uv) chain
+        # (bilinear is separately linear in u and v, so the first-order
+        # term IS the derivative at the hit). u, v are recomputed
+        # differentiably: planes from the A/B frame rows (geo table),
+        # spheres from the outward normal via the Cephes inverse trig.
+        # Only the DERIVATIVE of the recompute matters, so inputs are
+        # sanitized freely against the masked-branch NaN class
+        # (pole/degenerate lanes get derivative 0).
+        mult = list(tm[:3])
+        if len(tm) >= 9:
+            from tracer.pallas.kernel_lib import (
+                J_TEXID, _acos_cephes, _atan2_cephes)
+
+            t_hit = jnp.where(hitf, t_row, 1.0)
+            hx = ox + t_hit * dx
+            hy = oy + t_hit * dy
+            hz = oz + t_hit * dz
+            grow = lambda r: comb_rec[JROWS + r : JROWS + r + 1, :]
+            u_p = (grow(G_AX) * hx + grow(G_AY) * hy + grow(G_AZ) * hz
+                   - grow(G_BA))
+            v_p = (grow(G_BX) * hx + grow(G_BY) * hy + grow(G_BZ) * hz
+                   - grow(G_BB))
+            textured_l = hitf & (row(J_TEXID) > -0.5)
+            sph_tex = textured_l & is_sph
+            inv_r = 1.0 / rad
+            onx = (hx - cx) * inv_r
+            ony = (hy - cy) * inv_r
+            onz = (hz - cz) * inv_r
+            # pole/degenerate sanitization: off-case lanes and exact
+            # poles get constant inputs (derivative 0, value unused)
+            r2_ok = sph_tex & (onx * onx + onz * onz > 1e-12)
+            onx_s = jnp.where(r2_ok, onx, 1.0)
+            onz_s = jnp.where(r2_ok, onz, 0.0)
+            ony_s = jnp.clip(jnp.where(sph_tex, ony, 0.0),
+                             -1.0 + 1e-6, 1.0 - 1e-6)
+            u_s = (_atan2_cephes(-onz_s, onx_s) + jnp.float32(jnp.pi)) / (
+                2.0 * jnp.float32(jnp.pi))
+            v_s = _acos_cephes(ony_s) / jnp.float32(jnp.pi)
+            u_r = jnp.where(is_sph, u_s, u_p)
+            v_r = jnp.where(is_sph, v_s, v_p)
+            sg = jax.lax.stop_gradient
+            du, dv = u_r - sg(u_r), v_r - sg(v_r)
+            mult = [tm[c] + tm[3 + c] * du + tm[6 + c] * dv
+                    for c in range(3)]
         alb = jnp.concatenate(
-            [rec[J_ALB0 + c : J_ALB0 + c + 1, :] * tm[c] for c in range(3)],
+            [rec[J_ALB0 + c : J_ALB0 + c + 1, :] * mult[c] for c in range(3)],
             axis=0,
         )
         rec = jnp.concatenate(
@@ -465,17 +529,18 @@ def _bounce_fn(comb_rec, bg_rows, state, *, hit, seed, alive, tm,
     jax.jit,
     static_argnames=("spp", "max_depth", "width", "num_pixels", "quirk",
                      "rr_start", "strat_k", "interpret", "has_textape",
-                     "seg_size"),
+                     "seg_size", "tape_f"),
 )
 def _bwd_call(params, tbase, camv, tableT, idx2, gfb2, textape2, *,
               spp, max_depth, width, num_pixels, quirk, rr_start, strat_k,
-              interpret, has_textape, seg_size):
+              interpret, has_textape, seg_size, tape_f=3):
     n_pad = tableT.shape[1]
     grid = gfb2.shape[1] // 128
     kernel = functools.partial(
         _bwd_kernel, spp=spp, max_depth=max_depth, width=width,
         num_pixels=num_pixels, quirk=quirk, rr_start=rr_start,
         strat_k=strat_k, has_textape=has_textape, seg_size=seg_size,
+        tape_f=tape_f,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -487,7 +552,7 @@ def _bwd_call(params, tbase, camv, tableT, idx2, gfb2, textape2, *,
     ]
     inputs = [params, camv, tableT, idx2, gfb2]
     if has_textape:
-        in_specs.append(pl.BlockSpec((3 * spp * max_depth, 128),
+        in_specs.append(pl.BlockSpec((tape_f * spp * max_depth, 128),
                                      lambda g, tb: (0, g),
                                      memory_space=pltpu.VMEM))
         inputs.append(textape2)
@@ -584,10 +649,14 @@ def band_cotangents(tableT, camv, idx, g_fb, width, band_rows, spp, max_depth,
         jnp.asarray(g_fb, jnp.float32).reshape(num_pixels, 3), 0, 1)
     gfb2 = jnp.pad(gfb2, ((0, 0), (0, pad)))
     has_textape = tex_tape is not None
+    tape_f = 3
     if has_textape:
-        # [spp, D, N, 3] -> channel-major rows [3*spp*D, N] (tape layout)
-        t2 = jnp.moveaxis(tex_tape.reshape(spp * max_depth, num_pixels, 3),
-                          2, 0).reshape(3 * spp * max_depth, num_pixels)
+        # [spp, D, N, F] -> field-major rows [F*spp*D, N] (tape layout);
+        # F=3 freezes texels, F=9 adds the d(texel)/d(uv) rows
+        tape_f = tex_tape.shape[-1]
+        t2 = jnp.moveaxis(
+            tex_tape.reshape(spp * max_depth, num_pixels, tape_f),
+            2, 0).reshape(tape_f * spp * max_depth, num_pixels)
         t2 = jnp.pad(t2, ((0, 0), (0, pad)), constant_values=1.0)
     else:
         t2 = None
@@ -598,7 +667,7 @@ def band_cotangents(tableT, camv, idx, g_fb, width, band_rows, spp, max_depth,
         spp=spp, max_depth=max_depth, width=width, num_pixels=num_pixels,
         quirk=reference_quirk, rr_start=rr_start, strat_k=strat_k,
         interpret=interpret, has_textape=has_textape,
-        seg_size=min(seg_size, max_depth),
+        seg_size=min(seg_size, max_depth), tape_f=tape_f,
     )
 
 
@@ -686,11 +755,15 @@ def scene_grads_bucketed(scene: Scene, cam, idx, g_fb, width: int,
         jnp.asarray(g_fb, jnp.float32).reshape(num_pixels, 3), 0, 1)
     gfb2 = jnp.pad(gfb2, ((0, 0), (0, pad))).reshape(3, grid, 128)
     has_textape = tex_tape is not None
+    tape_f = 3
     if has_textape:
-        t3 = jnp.moveaxis(tex_tape.reshape(spp * max_depth, num_pixels, 3),
-                          2, 0).reshape(3, spp, max_depth, num_pixels)
+        tape_f = tex_tape.shape[-1]
+        t3 = jnp.moveaxis(
+            tex_tape.reshape(spp * max_depth, num_pixels, tape_f),
+            2, 0).reshape(tape_f, spp, max_depth, num_pixels)
         t3 = jnp.pad(t3, ((0, 0), (0, 0), (0, 0), (0, pad)),
-                     constant_values=1.0).reshape(3, spp, max_depth, grid, 128)
+                     constant_values=1.0).reshape(
+                         tape_f, spp, max_depth, grid, 128)
 
     params = jnp.concatenate([
         jnp.zeros((15,), jnp.float32),
@@ -720,7 +793,7 @@ def scene_grads_bucketed(scene: Scene, cam, idx, g_fb, width: int,
                  ).reshape(3, nb * 128)
         if has_textape:
             t_b = jnp.take(t3[:, :, :b], tiles_d, axis=3).reshape(
-                3 * spp * b, nb * 128)
+                tape_f * spp * b, nb * 128)
         else:
             t_b = None
         tbase = tiles_d * 128
@@ -729,7 +802,7 @@ def scene_grads_bucketed(scene: Scene, cam, idx, g_fb, width: int,
             spp=spp, max_depth=b, width=width, num_pixels=num_pixels,
             quirk=reference_quirk, rr_start=rr_start, strat_k=0,
             interpret=interpret, has_textape=has_textape,
-            seg_size=min(seg_size, b),
+            seg_size=min(seg_size, b), tape_f=tape_f,
         )
         dtable = dtable + dt
         dcam = dcam + dc
@@ -779,6 +852,7 @@ def scene_grads_chunked(scene: Scene, cam, g_fb, width: int, height: int,
             reference_quirk=reference_quirk, interpret=interpret,
             sample_start=c * spp_chunk, rr_start=rr_start,
             fast_math=fast_math,
+            tape_fields=9 if scene.textures is not None else 3,
         )
         idx = out[1]
         tex = out[2] if len(out) == 3 else None

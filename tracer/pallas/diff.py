@@ -33,12 +33,12 @@ from tracer.render import renderer
 
 
 def _record(scene, cam, width, height, spp, max_depth, reference_quirk,
-            rr_start=None, fast_math=False):
+            rr_start=None, fast_math=False, tape_fields=3):
     out = megakernel.render_frame_pallas_record(
         scene, cam, width, height, spp, max_depth,
         reference_quirk=reference_quirk,
         interpret=jax.default_backend() == "cpu",
-        rr_start=rr_start, fast_math=fast_math,
+        rr_start=rr_start, fast_math=fast_math, tape_fields=tape_fields,
     )
     # textured scenes also record the per-bounce texture multipliers
     # (fb, idx, tex); untextured return (fb, idx)
@@ -144,8 +144,13 @@ def _render_kernel_diff(scene, cam, width, height, spp, max_depth,
 
 def _kernel_fwd(scene, cam, width, height, spp, max_depth, reference_quirk,
                 rr_start, fast_math):
+    # 9-field tape (round 4): rows 3-8 carry d(texel)/d(uv) so the
+    # backward kernel linearizes the frozen texel around the recorded
+    # hit — geometry gradients on textured surfaces keep the exact
+    # d(texel)/d(uv) term the 3-field tape loses
     fb, idx, tex = _record(scene, cam, width, height, spp, max_depth,
-                           reference_quirk, rr_start, fast_math)
+                           reference_quirk, rr_start, fast_math,
+                           tape_fields=9)
     return fb, (scene, cam, idx, tex)
 
 

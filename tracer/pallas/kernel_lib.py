@@ -761,8 +761,10 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
         tex_du = tex_dv = None
         if big_tex is not None:
             # HBM demand-paged path: the while-loop runs zero iterations
-            # when no lane is textured, so no scalar gate is needed
-            th_g, tw_g = big_tex[7], big_tex[8]
+            # when no lane is textured, so no scalar gate is needed.
+            # tuple layout (kernels.py): (tex_hbm, blk, aux, cached, sem,
+            # th, tw, nbx, debug_stats)
+            th_g, tw_g = big_tex[5], big_tex[6]
             fetched = _tex_demand_fetch(
                 big_tex, u_all, v_all, textured, flat, to_px, ps,
                 want_grad=want_grad,
