@@ -355,7 +355,7 @@ def scene_grads_replay_sharded(
 def _chunk_cotangents_sharded(scene, cam, tableT, camv, g_pad, sample_start,
                               width, height, rows, spp_chunk, max_depth,
                               mesh, reference_quirk, rr_start, interpret,
-                              fast_math=False):
+                              fast_math=False, texture_grads=False):
     """One spp chunk of the sharded kernel backward: every device records
     its row band's tape and runs the fused backward kernel on it; the two
     cotangent blocks (combined table + camera rows) psum over the mesh.
@@ -364,6 +364,9 @@ def _chunk_cotangents_sharded(scene, cam, tableT, camv, g_pad, sample_start,
     from tracer.pallas import megakernel
 
     has_tex = scene.textures is not None
+    texture_grads = texture_grads and has_tex
+    tape_fields = (13 if texture_grads else 9) if has_tex else 3
+    tex_shape = tuple(scene.textures.shape[1:3]) if texture_grads else None
 
     def to_varying(x):
         if not hasattr(x, "dtype"):
@@ -382,22 +385,27 @@ def _chunk_cotangents_sharded(scene, cam, tableT, camv, g_pad, sample_start,
             interpret, 0, 128, False, None, persistent=True,
             record_idx=True, row_offset=row0, sample_start=ss,
             rr_start=rr_start, fast_math=fast_math,
-            tape_fields=9 if has_tex else 3,
+            tape_fields=tape_fields,
         )
         idx = out[1]
         tex = out[2] if has_tex else None
-        dt, dc, _ = bwd_mod.band_cotangents(
+        cot = bwd_mod.band_cotangents(
             tableT, camv, idx, g_band, width, rows, spp_chunk, max_depth,
             row_offset=row0, sample_start=ss,
             reference_quirk=reference_quirk, rr_start=rr_start,
             tex_tape=tex, interpret=interpret,
+            texture_grads=texture_grads, tex_shape=tex_shape,
         )
-        return jax.lax.psum(dt, AXIS), jax.lax.psum(dc, AXIS)
+        res = (jax.lax.psum(cot[0], AXIS), jax.lax.psum(cot[1], AXIS))
+        if texture_grads:
+            res = res + (jax.lax.psum(cot[3], AXIS),)
+        return res
 
+    out_specs = (P(), P(), P()) if texture_grads else (P(), P())
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(AXIS), P()),
-        out_specs=(P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )(scene, cam, tableT, camv, g_pad, sample_start)
 
@@ -417,6 +425,7 @@ def l2_grads_deep_sharded(
     interpret: bool = False,
     fwd_spp_chunk=None,
     fast_math: bool = False,
+    texture_grads: bool = False,
 ):
     """(loss, d(scene), d(cam)) for mean((fb/spp - target)^2), sharded AND
     spp-chunked — the BASELINE config-5 runner (2K spheres, 4K render,
@@ -466,18 +475,25 @@ def l2_grads_deep_sharded(
 
     (tableT, camv), vjp_tables = jax.vjp(bwd_mod.pack_tables, scene, cam)
 
-    dtable = dcam = None
+    texture_grads = texture_grads and scene.textures is not None
+    dtable = dcam = dtex = None
     for c in range(spp // spp_chunk):
-        dt, dc = _chunk_cotangents_sharded(
+        cot = _chunk_cotangents_sharded(
             scene, cam, tableT, camv, g_pad, jnp.int32(c * spp_chunk),
             width, height, rows, spp_chunk, max_depth, mesh,
             reference_quirk, rr_start, interpret, fast_math=fast_math,
+            texture_grads=texture_grads,
         )
         if dtable is None:
-            dtable, dcam = dt, dc
+            dtable, dcam = cot[0], cot[1]
+            dtex = cot[2] if texture_grads else None
         else:
-            dtable, dcam = dtable + dt, dcam + dc
+            dtable, dcam = dtable + cot[0], dcam + cot[1]
+            if texture_grads:
+                dtex = dtex + cot[2]
     g_scene, g_cam = vjp_tables((dtable, dcam))
+    if texture_grads:
+        g_scene = g_scene._replace(textures=g_scene.textures.at[0].add(dtex))
     return loss, g_scene, g_cam
 
 

@@ -209,9 +209,11 @@ def _bwd_kernel(
     has_textape: bool,
     seg_size: int,
     tape_f: int = 3,
+    want_texgrad: bool = False,
 ):
     refs = list(refs)
     textape_ref = refs.pop(0) if has_textape else None
+    gtex_ref = refs.pop() if want_texgrad else None
     dtable_ref, dcam_ref, fb_ref = refs
 
     pid = pl.program_id(0)
@@ -356,7 +358,18 @@ def _bwd_kernel(
                     _bounce_fn, hit=hit, seed=sd, alive=al, tm=tm,
                     rr_start=rr_start, depth=d,
                 )
-                (st, aux), fvjp = _vjp3(bounce, comb_rec, bg_rows, st)
+                if want_texgrad:
+                    # texel-value tape rows join the vjp as a 4th
+                    # differentiated arg: their cotangent is
+                    # dL/d(texel-at-hit), the texture-IMAGE gradient
+                    # source (scattered to bilinear corners by
+                    # texture_image_grads from the addressing rows)
+                    st, fvjp, aux = jax.vjp(
+                        lambda cr, bg, st_, t3, _b=bounce: _b(
+                            cr, bg, st_, tm3=t3),
+                        comb_rec, bg_rows, st, tuple(tm[:3]), has_aux=True)
+                else:
+                    (st, aux), fvjp = _vjp3(bounce, comb_rec, bg_rows, st)
                 sd, al = aux
                 vjps.append(fvjp)
             if si == n_seg - 1:
@@ -368,7 +381,14 @@ def _bwd_kernel(
                 fb_ref[2:3, :] = fb_ref[2:3, :] + st[11]
             g_combs = [None] * (hi - lo)
             for d in reversed(range(lo, hi)):
-                g_comb, g_bg, g_state = vjps[d - lo](g_state)
+                if want_texgrad:
+                    g_comb, g_bg, g_state, g_tm = vjps[d - lo](g_state)
+                    rows_t = spp * max_depth
+                    for c in range(3):
+                        gtex_ref[pl.ds(
+                            c * rows_t + s * max_depth + d, 1), :] = g_tm[c]
+                else:
+                    g_comb, g_bg, g_state = vjps[d - lo](g_state)
                 g_combs[d - lo] = g_comb
                 g_bg_acc = tuple(a + b for a, b in zip(g_bg_acc, g_bg))
             # ONE batched cotangent transpose per segment: the lane-dim
@@ -399,7 +419,7 @@ def _vjp3(f, comb_rec, bg_rows, state):
 
 
 def _bounce_fn(comb_rec, bg_rows, state, *, hit, seed, alive, tm,
-               rr_start, depth):
+               rr_start, depth, tm3=None):
     """One differentiable replay bounce on (1, 128) rows.
 
     The winner is fixed by the tape (`hit`, via the one-hot joined
@@ -462,11 +482,20 @@ def _bounce_fn(comb_rec, bg_rows, state, *, hit, seed, alive, tm,
         # Only the DERIVATIVE of the recompute matters, so inputs are
         # sanitized freely against the masked-branch NaN class
         # (pole/degenerate lanes get derivative 0).
-        mult = list(tm[:3])
-        if len(tm) >= 9:
-            from tracer.pallas.kernel_lib import (
-                J_TEXID, _acos_cephes, _atan2_cephes)
+        from tracer.pallas.kernel_lib import (
+            J_TEXID, _acos_cephes, _atan2_cephes)
 
+        textured_l = hitf & (row(J_TEXID) > -0.5)
+        if tm3 is not None:
+            # texture-IMAGE gradients: tm3 is the same texel-value rows
+            # passed as a DIFFERENTIATED vjp argument. Untextured lanes
+            # hold the tape's neutral 1.0, so masking to a literal 1.0
+            # is value-identical — it exists to zero the image cotangent
+            # on lanes whose albedo was never texture-scaled.
+            mult = [jnp.where(textured_l, tm3[c], 1.0) for c in range(3)]
+        else:
+            mult = list(tm[:3])
+        if len(tm) >= 9:
             t_hit = jnp.where(hitf, t_row, 1.0)
             hx = ox + t_hit * dx
             hy = oy + t_hit * dy
@@ -476,7 +505,6 @@ def _bounce_fn(comb_rec, bg_rows, state, *, hit, seed, alive, tm,
                    - grow(G_BA))
             v_p = (grow(G_BX) * hx + grow(G_BY) * hy + grow(G_BZ) * hz
                    - grow(G_BB))
-            textured_l = hitf & (row(J_TEXID) > -0.5)
             sph_tex = textured_l & is_sph
             inv_r = 1.0 / rad
             onx = (hx - cx) * inv_r
@@ -529,18 +557,19 @@ def _bounce_fn(comb_rec, bg_rows, state, *, hit, seed, alive, tm,
     jax.jit,
     static_argnames=("spp", "max_depth", "width", "num_pixels", "quirk",
                      "rr_start", "strat_k", "interpret", "has_textape",
-                     "seg_size", "tape_f"),
+                     "seg_size", "tape_f", "want_texgrad"),
 )
 def _bwd_call(params, tbase, camv, tableT, idx2, gfb2, textape2, *,
               spp, max_depth, width, num_pixels, quirk, rr_start, strat_k,
-              interpret, has_textape, seg_size, tape_f=3):
+              interpret, has_textape, seg_size, tape_f=3,
+              want_texgrad=False):
     n_pad = tableT.shape[1]
     grid = gfb2.shape[1] // 128
     kernel = functools.partial(
         _bwd_kernel, spp=spp, max_depth=max_depth, width=width,
         num_pixels=num_pixels, quirk=quirk, rr_start=rr_start,
         strat_k=strat_k, has_textape=has_textape, seg_size=seg_size,
-        tape_f=tape_f,
+        tape_f=tape_f, want_texgrad=want_texgrad,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -568,6 +597,12 @@ def _bwd_call(params, tbase, camv, tableT, idx2, gfb2, textape2, *,
         jax.ShapeDtypeStruct((CAMV_ROWS, 128), jnp.float32),
         jax.ShapeDtypeStruct((3, grid * 128), jnp.float32),
     ]
+    if want_texgrad:
+        out_specs.append(pl.BlockSpec((3 * spp * max_depth, 128),
+                                      lambda g, tb: (0, g),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (3 * spp * max_depth, grid * 128), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -584,12 +619,44 @@ def _bwd_call(params, tbase, camv, tableT, idx2, gfb2, textape2, *,
     )(tbase, *inputs)
 
 
+def texture_image_grads(gtex2, t2, spp, max_depth, th, tw):
+    """d(texture image) [th, tw, 3] from per-bounce texel cotangents.
+
+    `gtex2` [3*spp*D, P] is the backward kernel's cotangent on the
+    tape's texel-value rows — dL/d(texel-at-hit) per (sample, bounce,
+    pixel), already masked to textured lanes. `t2` is the field-major
+    13-field tape whose rows 9-12 carry the recording kernel's exact
+    bilinear addressing (x0, y0, fu, fv — kernel_lib._tex_addressing,
+    the tex2D_cpu semantics of materials.h:20-51). The bilinear fetch is
+    texel = sum_c w_c(fu, fv) * tex[corner_c], so the image cotangent is
+    four weighted scatter-adds — no texture-sized gathers anywhere, and
+    untextured/dead slots contribute exactly zero (their g is 0).
+    """
+    rows = spp * max_depth
+    g = jnp.stack([gtex2[c * rows:(c + 1) * rows] for c in range(3)],
+                  axis=-1)  # [rows, P, 3]
+    x0 = t2[9 * rows:10 * rows].astype(jnp.int32)
+    y0 = t2[10 * rows:11 * rows].astype(jnp.int32)
+    fu = t2[11 * rows:12 * rows]
+    fv = t2[12 * rows:13 * rows]
+    x1 = jnp.where(x0 + 1 < tw, x0 + 1, 0)  # neighbor wrap
+    y1 = jnp.where(y0 + 1 < th, y0 + 1, 0)
+    dflat = jnp.zeros((th * tw, 3), jnp.float32)
+    for yy, xx, w in ((y0, x0, (1.0 - fu) * (1.0 - fv)),
+                      (y0, x1, fu * (1.0 - fv)),
+                      (y1, x0, (1.0 - fu) * fv),
+                      (y1, x1, fu * fv)):
+        dflat = dflat.at[(yy * tw + xx).reshape(-1)].add(
+            (w[..., None] * g).reshape(-1, 3))
+    return dflat.reshape(th, tw, 3)
+
+
 def scene_cam_grads(scene: Scene, cam: camera_mod.CameraData, idx, g_fb,
                     width: int, height: int, spp: int, max_depth: int,
                     reference_quirk: bool = True, rr_start=None,
                     stratify: bool = False, sample_start: int = 0,
                     row_offset: int = 0, tex_tape=None, interpret=False,
-                    seg_size: int = 8):
+                    seg_size: int = 8, texture_grads: bool = False):
     """(d(scene), d(cam), fb_replayed) for cotangent g_fb [H, W, 3].
 
     The kernel produces cotangents on the packed tables and the camera
@@ -607,13 +674,24 @@ def scene_cam_grads(scene: Scene, cam: camera_mod.CameraData, idx, g_fb,
         strat_k = int(round(spp ** 0.5))
         assert strat_k * strat_k == spp, "stratify requires square spp"
 
-    dtable, dcam, fb2 = band_cotangents(
+    tex_shape = None
+    if texture_grads:
+        assert scene.textures is not None
+        tex_shape = tuple(scene.textures.shape[1:3])
+    out = band_cotangents(
         tableT, camv, idx, g_fb, width, height, spp, max_depth,
         row_offset=row_offset, sample_start=sample_start,
         reference_quirk=reference_quirk, rr_start=rr_start, strat_k=strat_k,
         tex_tape=tex_tape, interpret=interpret, seg_size=seg_size,
+        texture_grads=texture_grads, tex_shape=tex_shape,
     )
+    dtable, dcam, fb2 = out[:3]
     g_scene, g_cam = vjp_tables((dtable, dcam))
+    if texture_grads:
+        # the megakernel supports one texture layer (tex_id 0); graft its
+        # image cotangent onto the (otherwise-zero) textures leaf
+        g_scene = g_scene._replace(
+            textures=g_scene.textures.at[0].add(out[3]))
     fb = jnp.moveaxis(fb2[:, :num_pixels], 0, 1).reshape(height, width, 3)
     return g_scene, g_cam, fb
 
@@ -621,8 +699,14 @@ def scene_cam_grads(scene: Scene, cam: camera_mod.CameraData, idx, g_fb,
 def band_cotangents(tableT, camv, idx, g_fb, width, band_rows, spp, max_depth,
                     *, row_offset=0, sample_start=0, reference_quirk=True,
                     rr_start=None, strat_k=0, tex_tape=None, interpret=False,
-                    seg_size=8):
-    """(dtable, dcam, fb2) for one `band_rows`-tall row band.
+                    seg_size=8, texture_grads=False, tex_shape=None):
+    """(dtable, dcam, fb2[, dtex]) for one `band_rows`-tall row band.
+
+    texture_grads=True (requires a 13-field tex_tape and tex_shape =
+    (th, tw)) appends the texture-IMAGE cotangent [th, tw, 3] — the
+    kernel emits per-bounce texel cotangents and texture_image_grads
+    scatters them to the bilinear corners. Pure XLA on top of the same
+    kernel call, so it composes under shard_map (psum dtex like dtable).
 
     The shard_map-safe core of scene_cam_grads: row_offset and
     sample_start may be TRACED values (they ride the params row into
@@ -662,13 +746,23 @@ def band_cotangents(tableT, camv, idx, g_fb, width, band_rows, spp, max_depth,
         t2 = None
 
     tbase = jnp.arange(grid, dtype=jnp.int32) * 128
-    return _bwd_call(
+    if texture_grads:
+        assert has_textape and tape_f >= 13, \
+            "texture_grads needs a 13-field tape (tape_fields=13)"
+        assert tex_shape is not None
+    out = _bwd_call(
         params, tbase, camv, tableT, idx2, gfb2, t2,
         spp=spp, max_depth=max_depth, width=width, num_pixels=num_pixels,
         quirk=reference_quirk, rr_start=rr_start, strat_k=strat_k,
         interpret=interpret, has_textape=has_textape,
         seg_size=min(seg_size, max_depth), tape_f=tape_f,
+        want_texgrad=texture_grads,
     )
+    if not texture_grads:
+        return out
+    dtable, dcam, fb2, gtex2 = out
+    dtex = texture_image_grads(gtex2, t2, spp, max_depth, *tex_shape)
+    return dtable, dcam, fb2, dtex
 
 
 # ----------------------------------------------------------------------
@@ -719,7 +813,8 @@ def scene_grads_bucketed(scene: Scene, cam, idx, g_fb, width: int,
                          reference_quirk: bool = True, rr_start=None,
                          sample_start: int = 0, tex_tape=None,
                          interpret=False, seg_size: int = 8,
-                         buckets=(4, 8, 16, 24, 36, 50)):
+                         buckets=(4, 8, 16, 24, 36, 50),
+                         texture_grads: bool = False):
     """(d(scene), d(cam)) — the band backward, depth-bucketed per tile.
 
     Gathers each tile into the smallest bucket covering its needed
@@ -774,6 +869,11 @@ def scene_grads_bucketed(scene: Scene, cam, idx, g_fb, width: int,
 
     dtable = jnp.zeros((TROWS, tableT.shape[1]), jnp.float32)
     dcam = jnp.zeros((CAMV_ROWS, 128), jnp.float32)
+    dtex = None
+    if texture_grads:
+        assert has_textape and tape_f >= 13 and scene.textures is not None
+        th, tw = scene.textures.shape[1:3]
+        dtex = jnp.zeros((th, tw, 3), jnp.float32)
     lo = 0
     for b in buckets:
         sel = np.nonzero((need > lo) & (need <= b))[0]
@@ -797,16 +897,22 @@ def scene_grads_bucketed(scene: Scene, cam, idx, g_fb, width: int,
         else:
             t_b = None
         tbase = tiles_d * 128
-        dt, dc, _ = _bwd_call(
+        out = _bwd_call(
             params, tbase, camv, tableT, idx_b, gfb_b, t_b,
             spp=spp, max_depth=b, width=width, num_pixels=num_pixels,
             quirk=reference_quirk, rr_start=rr_start, strat_k=0,
             interpret=interpret, has_textape=has_textape,
             seg_size=min(seg_size, b), tape_f=tape_f,
+            want_texgrad=texture_grads,
         )
-        dtable = dtable + dt
-        dcam = dcam + dc
-    return vjp_tables((dtable, dcam))
+        dtable = dtable + out[0]
+        dcam = dcam + out[1]
+        if texture_grads:
+            dtex = dtex + texture_image_grads(out[3], t_b, spp, b, th, tw)
+    g_scene, g_cam = vjp_tables((dtable, dcam))
+    if texture_grads:
+        g_scene = g_scene._replace(textures=g_scene.textures.at[0].add(dtex))
+    return g_scene, g_cam
 
 
 # ----------------------------------------------------------------------
@@ -817,7 +923,8 @@ def scene_grads_bucketed(scene: Scene, cam, idx, g_fb, width: int,
 def scene_grads_chunked(scene: Scene, cam, g_fb, width: int, height: int,
                         spp: int, max_depth: int, spp_chunk: int = 4,
                         reference_quirk: bool = True, rr_start=None,
-                        interpret=False, bucketed=None, fast_math=False):
+                        interpret=False, bucketed=None, fast_math=False,
+                        texture_grads: bool = False):
     """(d(scene), d(cam)) with tape memory bounded by `spp_chunk`.
 
     The full-tape VJP needs spp x max_depth i32 rows per pixel — at the
@@ -845,6 +952,10 @@ def scene_grads_chunked(scene: Scene, cam, g_fb, width: int, height: int,
         # mode (CPU tests) defaults off: per-bucket kernel re-traces
         # cost minutes there and bucketing is pinned by its own test.
         bucketed = max_depth >= 16 and not interpret
+    texture_grads = texture_grads and scene.textures is not None
+    tape_fields = 3
+    if scene.textures is not None:
+        tape_fields = 13 if texture_grads else 9
     g_scene = g_cam = None
     for c in range(spp // spp_chunk):
         out = megakernel.render_frame_pallas_record(
@@ -852,7 +963,7 @@ def scene_grads_chunked(scene: Scene, cam, g_fb, width: int, height: int,
             reference_quirk=reference_quirk, interpret=interpret,
             sample_start=c * spp_chunk, rr_start=rr_start,
             fast_math=fast_math,
-            tape_fields=9 if scene.textures is not None else 3,
+            tape_fields=tape_fields,
         )
         idx = out[1]
         tex = out[2] if len(out) == 3 else None
@@ -861,12 +972,14 @@ def scene_grads_chunked(scene: Scene, cam, g_fb, width: int, height: int,
                 scene, cam, idx, g_fb, width, height, spp_chunk, max_depth,
                 reference_quirk=reference_quirk, rr_start=rr_start,
                 sample_start=c * spp_chunk, tex_tape=tex, interpret=interpret,
+                texture_grads=texture_grads,
             )
         else:
             gs, gc, _ = scene_cam_grads(
                 scene, cam, idx, g_fb, width, height, spp_chunk, max_depth,
                 reference_quirk=reference_quirk, rr_start=rr_start,
                 sample_start=c * spp_chunk, tex_tape=tex, interpret=interpret,
+                texture_grads=texture_grads,
             )
         if g_scene is None:
             g_scene, g_cam = gs, gc
@@ -886,7 +999,7 @@ def l2_grads_deep(scene: Scene, cam, target, width: int, height: int,
                   spp: int, max_depth: int, spp_chunk: int = 4,
                   reference_quirk: bool = True, rr_start=None,
                   interpret=False, fwd_spp_chunk=None, fast_math=False,
-                  bucketed=None):
+                  bucketed=None, texture_grads: bool = False):
     """(loss, d(scene), d(cam)) for mean((fb/spp - target)^2) at any depth.
 
     Phase 1 renders the frame with the plain persistent kernel (no tape)
@@ -928,5 +1041,6 @@ def l2_grads_deep(scene: Scene, cam, target, width: int, height: int,
         scene, cam, g_fb, width, height, spp, max_depth, spp_chunk,
         reference_quirk=reference_quirk, rr_start=rr_start,
         interpret=interpret, fast_math=fast_math, bucketed=bucketed,
+        texture_grads=texture_grads,
     )
     return loss, g_scene, g_cam

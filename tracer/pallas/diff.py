@@ -133,29 +133,32 @@ _render_replay_diff.defvjp(_replay_fwd, _replay_bwd)
 # the same ops); texture tape semantics identical to "replay".
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def _render_kernel_diff(scene, cam, width, height, spp, max_depth,
                         reference_quirk=True, rr_start=None,
-                        fast_math=False):
+                        fast_math=False, texture_grads=True):
     fb, _, _ = _record(scene, cam, width, height, spp, max_depth,
                        reference_quirk, rr_start, fast_math)
     return fb
 
 
 def _kernel_fwd(scene, cam, width, height, spp, max_depth, reference_quirk,
-                rr_start, fast_math):
-    # 9-field tape (round 4): rows 3-8 carry d(texel)/d(uv) so the
+                rr_start, fast_math, texture_grads):
+    # 13-field tape (round 4): rows 3-8 carry d(texel)/d(uv) so the
     # backward kernel linearizes the frozen texel around the recorded
     # hit — geometry gradients on textured surfaces keep the exact
-    # d(texel)/d(uv) term the 3-field tape loses
+    # d(texel)/d(uv) term the 3-field tape loses; rows 9-12 carry the
+    # bilinear addressing for texture-IMAGE cotangents (gradients flow
+    # to the texture pixels themselves, matching the remat oracle)
+    texture_grads = texture_grads and scene.textures is not None
     fb, idx, tex = _record(scene, cam, width, height, spp, max_depth,
                            reference_quirk, rr_start, fast_math,
-                           tape_fields=9)
+                           tape_fields=13 if texture_grads else 9)
     return fb, (scene, cam, idx, tex)
 
 
 def _kernel_bwd(width, height, spp, max_depth, reference_quirk, rr_start,
-                fast_math, residuals, g):
+                fast_math, texture_grads, residuals, g):
     # fast_math affects only WHICH winners got recorded (razor-edge
     # flips); given the tape, the backward replays/differentiates the
     # recorded paths at full precision — the gradient stays a valid
@@ -167,6 +170,7 @@ def _kernel_bwd(width, height, spp, max_depth, reference_quirk, rr_start,
         scene, cam, idx, g, width, height, spp, max_depth,
         reference_quirk=reference_quirk, rr_start=rr_start, tex_tape=tex,
         interpret=jax.default_backend() == "cpu",
+        texture_grads=texture_grads and scene.textures is not None,
     )
     return g_scene, g_cam
 
@@ -216,7 +220,7 @@ _render_remat_diff.defvjp(_remat_fwd, _remat_bwd)
 
 def render_frame_diff(scene, cam, width, height, spp, max_depth,
                       reference_quirk=True, mode="replay-kernel",
-                      rr_start=None, fast_math=False):
+                      rr_start=None, fast_math=False, texture_grads=True):
     """Raw sample sums [H, W, 3]; forward = Pallas, backward = `mode`.
 
     mode="replay-kernel" (default since round 3): the fused Pallas
@@ -242,7 +246,7 @@ def render_frame_diff(scene, cam, width, height, spp, max_depth,
           "remat": _render_remat_diff}[mode]
     if mode == "replay-kernel":
         return fn(scene, cam, width, height, spp, max_depth, reference_quirk,
-                  rr_start, fast_math)
+                  rr_start, fast_math, texture_grads)
     if fast_math:
         raise ValueError(f"fast_math requires mode='replay-kernel', not {mode!r}")
     return fn(scene, cam, width, height, spp, max_depth, reference_quirk,
