@@ -387,6 +387,52 @@ class TestPallasSharded:
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            atol=tol, rtol=1e-4)
 
+    def test_sharded_kernel_backward_texture_grads(self, mesh):
+        """texture_grads=True through the sharded config-5 runner: the
+        13-field tape + extra psum'd texture-cotangent block must match
+        the unsharded path leaf-for-leaf, INCLUDING a nonzero texture
+        image gradient (round-5 fix: the flag must be static under jit,
+        and the kernel linearization must not discard the differentiated
+        texel rows)."""
+        import io as _io
+
+        import jax.numpy as jnp
+
+        from tracer.pallas import bwd
+        from tracer.scene import builders, config
+
+        params = config.read_scene_params(_io.StringIO(config.smoke_config_text()))
+        scene = builders.create_scene(params, with_bvh=False,
+                                      texture_loader=lambda _: None)
+        g = np.random.default_rng(7)
+        tex = jnp.asarray(g.uniform(0.2, 1.0, (1, 40, 56, 3)).astype(np.float32))
+        tid = np.asarray(scene.materials.tex_id).copy()
+        tid[0] = 0
+        scene = scene._replace(
+            textures=tex,
+            materials=scene.materials._replace(tex_id=jnp.asarray(tid)),
+        )
+        w, h, spp, depth = 32, 20, 4, 3
+        cam = C.build_camera_data([-15.0, 0.0, 4.5], [0.0, 4.5, 0.0], w, h, 90.0)
+        target = np.zeros((h, w, 3), np.float32)
+
+        l_ref, gs_ref, gc_ref = bwd.l2_grads_deep(
+            scene, cam, target, w, h, spp, depth, spp_chunk=2, interpret=True,
+            texture_grads=True)
+        l_sh, gs_sh, gc_sh = sharding.l2_grads_deep_sharded(
+            scene, cam, target, w, h, spp, depth, mesh, spp_chunk=2,
+            interpret=True, texture_grads=True)
+        np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-6)
+        assert float(np.abs(np.asarray(gs_ref.textures)).max()) > 0.0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gs_sh) + jax.tree_util.tree_leaves(gc_sh),
+            jax.tree_util.tree_leaves(gs_ref) + jax.tree_util.tree_leaves(gc_ref),
+        ):
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                tol = 1e-5 * max(1.0, float(np.abs(np.asarray(b)).max()))
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=tol, rtol=1e-4)
+
     def test_sharded_replay_grads_textured(self, mesh):
         """Textured sharded fast-gradient step: the record under
         shard_map also emits the texture-multiplier tape (extra out_spec)

@@ -397,9 +397,10 @@ class TestKernelBackward:
             materials=mats._replace(tex_id=jnp.asarray(tex_id)),
         )
 
-        def loss(scene, mode):
+        def loss(scene, mode, texture_grads=False):
             fb = pdiff.render_frame_diff(scene, _cam(), W, H, SPP, DEPTH,
-                                         mode=mode)
+                                         mode=mode,
+                                         texture_grads=texture_grads)
             return jnp.mean(fb * fb)
 
         g_k = jax.grad(lambda s: loss(s, "replay-kernel"), allow_int=True)(scene)
@@ -422,8 +423,20 @@ class TestKernelBackward:
         np.testing.assert_allclose(
             np.asarray(g_k.planes.base), np.asarray(g_s.planes.base),
             rtol=1e-4, atol=1e-6)
-        # the tape semantics stop the texture-image gradient, both modes
+        # default (texture_grads=False): the tape freezes the texture
+        # IMAGE — its cotangent is identically zero in both tape modes
         assert float(np.abs(np.asarray(g_k.textures)).max()) == 0.0
+        # opt-in texture_grads=True: the 13-field tape routes exact
+        # cotangents to the texture pixels — must match the remat oracle
+        # (the only other mode with texture-image gradients)
+        g_kt = jax.grad(
+            lambda s: loss(s, "replay-kernel", texture_grads=True),
+            allow_int=True)(scene)
+        g_rem = jax.grad(lambda s: loss(s, "remat"), allow_int=True)(scene)
+        assert float(np.abs(np.asarray(g_rem.textures)).max()) > 0.0
+        np.testing.assert_allclose(
+            np.asarray(g_kt.textures), np.asarray(g_rem.textures),
+            rtol=1e-4, atol=1e-7)
 
     def test_textured_grads_big_texture_demand_paged(self):
         """The same d(texel)/d(uv)-exact geometry gradients through the

@@ -350,7 +350,7 @@ def scene_grads_replay_sharded(
     jax.jit,
     static_argnames=("width", "height", "rows", "spp_chunk", "max_depth",
                      "mesh", "reference_quirk", "rr_start", "interpret",
-                     "fast_math"),
+                     "fast_math", "texture_grads"),
 )
 def _chunk_cotangents_sharded(scene, cam, tableT, camv, g_pad, sample_start,
                               width, height, rows, spp_chunk, max_depth,

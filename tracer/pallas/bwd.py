@@ -524,7 +524,13 @@ def _bounce_fn(comb_rec, bg_rows, state, *, hit, seed, alive, tm,
             v_r = jnp.where(is_sph, v_s, v_p)
             sg = jax.lax.stop_gradient
             du, dv = u_r - sg(u_r), v_r - sg(v_r)
-            mult = [tm[c] + tm[3 + c] * du + tm[6 + c] * dv
+            # build on the already-selected mult: tm3 (the DIFFERENTIATED
+            # texel rows) when texture-image grads are on, tm[:3]
+            # otherwise. Reassigning from tm[c] here would silently
+            # discard the tm3 cotangent path (texture-image gradients
+            # identically zero). Untextured lanes are unaffected: their
+            # tape du/dv rows are zero.
+            mult = [mult[c] + tm[3 + c] * du + tm[6 + c] * dv
                     for c in range(3)]
         alb = jnp.concatenate(
             [rec[J_ALB0 + c : J_ALB0 + c + 1, :] * mult[c] for c in range(3)],

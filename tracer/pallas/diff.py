@@ -136,7 +136,7 @@ _render_replay_diff.defvjp(_replay_fwd, _replay_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def _render_kernel_diff(scene, cam, width, height, spp, max_depth,
                         reference_quirk=True, rr_start=None,
-                        fast_math=False, texture_grads=True):
+                        fast_math=False, texture_grads=False):
     fb, _, _ = _record(scene, cam, width, height, spp, max_depth,
                        reference_quirk, rr_start, fast_math)
     return fb
@@ -220,8 +220,16 @@ _render_remat_diff.defvjp(_remat_fwd, _remat_bwd)
 
 def render_frame_diff(scene, cam, width, height, spp, max_depth,
                       reference_quirk=True, mode="replay-kernel",
-                      rr_start=None, fast_math=False, texture_grads=True):
+                      rr_start=None, fast_math=False, texture_grads=False):
     """Raw sample sums [H, W, 3]; forward = Pallas, backward = `mode`.
+
+    texture_grads=True (replay-kernel only, OPT-IN): records a 13-field
+    texture tape (+44% tape HBM over the 9-field default, plus an extra
+    [3*spp*D, grid*128] f32 kernel output and a host scatter) so texture
+    IMAGE pixels receive exact cotangents, matching the remat oracle.
+    Leave False unless the texture image itself is being optimized —
+    geometry d(texel)/d(uv) gradients are carried by the 9-field tape
+    either way. Passing True with a mode that ignores it raises.
 
     mode="replay-kernel" (default since round 3): the fused Pallas
     backward — measured 18.0 vs 11.9 Mrays/s fwd+bwd on v5e at 800x600
@@ -249,5 +257,9 @@ def render_frame_diff(scene, cam, width, height, spp, max_depth,
                   rr_start, fast_math, texture_grads)
     if fast_math:
         raise ValueError(f"fast_math requires mode='replay-kernel', not {mode!r}")
+    if texture_grads and mode != "remat":
+        raise ValueError(
+            f"texture_grads requires mode='replay-kernel' (or 'remat', where "
+            f"texture-image gradients are always on), not {mode!r}")
     return fn(scene, cam, width, height, spp, max_depth, reference_quirk,
               rr_start)
