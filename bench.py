@@ -362,6 +362,27 @@ def _measure() -> int:
         _emit("fwdbwd_textured_mrays_per_s", cw * ch * cspp / best / 1e6,
               {"engine": "pallas+bwdkernel+textape+fm",
                "shape": f"{cw}x{ch}x{cspp}spp d{cdepth}", "spheres": cn})
+
+        # 5b. texture-IMAGE gradients (opt-in texture_grads=True): the
+        #     13-field tape routes exact cotangents to the texture
+        #     pixels (matches the remat oracle; round-5 fix). spp-chunked
+        #     so the bigger tape stays bounded (~2.6 GB/chunk here).
+        from tracer.pallas import bwd as pallas_bwd_t
+
+        cfg4_target = np.zeros((ch, cw, 3), np.float32)
+
+        def run_cfg4_texgrad(cam):
+            _, gs, _ = pallas_bwd_t.l2_grads_deep(
+                cfg4, cam, cfg4_target, cw, ch, cspp, cdepth, spp_chunk=8,
+                fast_math=True, texture_grads=True)
+            float(np.asarray(gs.materials.albedo)[0, 0])
+            return gs
+
+        best = _time_frames(run_cfg4_texgrad, cfg4_cam, nframes=2)
+        _emit("fwdbwd_texgrad_mrays_per_s", cw * ch * cspp / best / 1e6,
+              {"engine": "pallas+bwdkernel+textape13+sppchunk+fm",
+               "shape": f"{cw}x{ch}x{cspp}spp d{cdepth}", "spheres": cn,
+               "texture_grads": True})
     except Exception as e:
         print(f"config-4 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -437,13 +458,21 @@ def main() -> int:
     delay = float(os.environ.get("TRACER_BENCH_BACKOFF", "20"))
     reason = "bench child produced no metric"
     for attempt in range(attempts):
-        rc, timed_out, saw_metric, child_err = _run_child_streaming(env)
-        if saw_metric:
+        rc, timed_out, metrics, child_err = _run_child_streaming(env)
+        if metrics:
             # Metric lines were already streamed to stdout the moment the
             # child printed them (so even an EXTERNAL kill of this parent
             # keeps whatever was measured); a teardown hang/crash after
-            # that is a success.
-            sys.stderr.write(child_err[-2000:])
+            # that is a success. The stderr dump goes out FIRST and the
+            # metric lines are re-emitted LAST: the driver parses the
+            # tail of the combined output, and round 4's capture was
+            # lost when late-config error spew (OOM + traceback) pushed
+            # every metric line out of the tail window.
+            sys.stderr.write(child_err[-1500:])
+            sys.stderr.flush()
+            for line in metrics:
+                sys.stdout.write(line)
+            sys.stdout.flush()
             return 0
         if timed_out:
             # A hang is as likely a dead tunnel as a real 40-min compile;
@@ -474,7 +503,7 @@ def main() -> int:
 
 def _run_child_streaming(env):
     """Run the measuring child, STREAMING its stdout line-by-line to ours
-    (flushed immediately). Returns (rc, timed_out, saw_metric, stderr).
+    (flushed immediately). Returns (rc, timed_out, metric_lines, stderr).
 
     Streaming matters twice: (1) if the child dies mid-run, every metric
     measured before the death is already out; (2) if the DRIVER kills
@@ -489,12 +518,12 @@ def _run_child_streaming(env):
         [sys.executable, os.path.abspath(__file__)],
         env=env, stdout=subprocess.PIPE, stderr=err_f, text=True,
     )
-    state = {"saw_metric": False}
+    state = {"metrics": []}
 
     def pump():
         for line in proc.stdout:
             if '"metric"' in line:
-                state["saw_metric"] = True
+                state["metrics"].append(line)
             sys.stdout.write(line)
             sys.stdout.flush()
 
@@ -513,7 +542,7 @@ def _run_child_streaming(env):
         child_err = err_f.read()
     finally:
         err_f.close()
-    return rc, timed_out, state["saw_metric"], child_err
+    return rc, timed_out, state["metrics"], child_err
 
 
 if __name__ == "__main__":
