@@ -265,6 +265,30 @@ def test_persistent_matches_sample_loop(tile_px):
     np.testing.assert_array_equal(got, base)
 
 
+def test_lane_major_matches_default():
+    # Round-5 closed experiment (kept tested): the (1, tile_px)
+    # lane-major layout must be BIT-identical to the default
+    # (tile_px//128, 128) sublane-major persistent kernel — same RNG
+    # streams, same summation grouping. (Measured slower on v5e: wide
+    # tiles wait on their slowest lane's total budget; see the
+    # render_frame_pallas docstring.)
+    scene = _scene()
+    w, h = 36, 7
+    cam = _cam(w, h)
+    base = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=3, max_depth=4, interpret=True,
+        )
+    )
+    got = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=3, max_depth=4, interpret=True,
+            tile_px=512, lane_major=True,
+        )
+    )
+    np.testing.assert_array_equal(got, base)
+
+
 def test_persistent_stratified_matches_sample_loop():
     scene = _scene()
     w, h = 32, 8

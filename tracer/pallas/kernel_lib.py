@@ -493,7 +493,7 @@ def _tex_demand_fetch(big_tex, u_all, v_all, textured, flat, to_px, ps,
     """
     (tex_hbm, blk_ref, aux_ref, cached_ref, sem,
      th, tw, nbx, debug_stats) = big_tex
-    ps0, flat_n = ps[0], ps[0] * 128
+    ps0, flat_n = ps[0], ps[0] * ps[1]
     bh3 = 3 * TEX_BH
 
     x0, y0, x1, y1, dxw, dyw = _tex_addressing(u_all, v_all, th, tw)

@@ -60,6 +60,7 @@ def _kernel(
     no_far: bool = False,
     tape_fields: int = 3,
     debug_iters: bool = False,
+    lane_major: bool = False,
 ):
     refs = list(refs)
     cull_scr = None
@@ -131,7 +132,21 @@ def _kernel(
         lin = jnp.minimum(lin, num_pixels - 1)
         s_off = jax.lax.broadcasted_iota(jnp.int32, (sample_block, 1), 0)
     else:
-        ps = (tile_px // 128, 128)  # pixel-tile shape: (1,128) or (8,128)
+        # lane-major (round 5): the whole tile is ONE (1, tile_px) vector
+        # row instead of (tile_px//128, 128) sublane-major. flat()/to_px
+        # become identity (no (8,128)<->(1,T) relayouts — what sank the
+        # round-2 t1024 experiment) and every elementwise chain in
+        # shade/regen/state runs once over T lanes, amortizing the
+        # latency-bound per-iteration fixed cost (~360 ns, round-4
+        # ablation; benchmarks/interleave_microbench.py shows independent
+        # lanes in one op are near-free) over T/128 x more paths.
+        # Exit/regeneration stays per-LANE, so the t128 exit-coherence
+        # win is unaffected.
+        if lane_major:
+            assert persistent and not clustered and not record_idx
+            ps = (1, tile_px)
+        else:
+            ps = (tile_px // 128, 128)  # pixel-tile shape: (1,128) or (8,128)
         sub = jax.lax.broadcasted_iota(jnp.int32, ps, 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, ps, 1)
         lin = pid * tile_px + sub * 128 + lane
@@ -160,7 +175,7 @@ def _kernel(
     base_lin = (i_int.astype(_U) * wu + j_int.astype(_U)) if quirk else iu
     base_seed = _wang_hash(base_lin)
 
-    flat_n = ps[0] * 128  # elements per tile (pixels x samples)
+    flat_n = ps[0] * ps[1]  # elements per tile (pixels x samples)
 
     if persistent:
         # ------------------------------------------------------------------

@@ -75,13 +75,14 @@ from tracer.pallas.kernels import _kernel  # noqa: F401
     static_argnames=(
         "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
         "tile_px", "stratify", "sample_block", "fast_math", "persistent",
-        "rr_start", "no_far", "debug_iters",
+        "rr_start", "no_far", "debug_iters", "lane_major",
     ),
 )
 def _render_brute_jit(
     scene, cam, width, height, spp, max_depth, reference_quirk, interpret,
     tile_px, stratify, sample_block, fast_math, persistent, row_offset=0,
     rr_start=None, no_far=False, sample_start=0, debug_iters=False,
+    lane_major=False,
 ):
     """Whole brute path (packing included) under one jit: repeat frames
     dispatch ONE remote call instead of ~30 tiny eager ops (the eager
@@ -91,7 +92,7 @@ def _render_brute_jit(
         interpret, 0, tile_px, stratify, None, sample_block=sample_block,
         fast_math=fast_math, persistent=persistent, row_offset=row_offset,
         rr_start=rr_start, no_far=no_far, sample_start=sample_start,
-        debug_iters=debug_iters,
+        debug_iters=debug_iters, lane_major=lane_major,
     )
 
 
@@ -185,8 +186,26 @@ def render_frame_pallas(
     rr_start=None,
     sample_start=0,
     debug_iters: bool = False,
+    lane_major: bool = False,
 ):
     """Render one frame with the fused megakernel.
+
+    lane_major=True (round 5, persistent brute path only; CLOSED
+    experiment, measured loser) lays the tile out as ONE (1, tile_px)
+    vector row instead of (tile_px//128, 128): flat()/to_px become
+    identity (none of the relayouts that sank the big-tile experiments)
+    and the per-iteration fixed cost is shared by tile_px lanes.
+    Measured on v5e (canonical untextured, 800x600 spp32 d50 fm):
+    t256 32.3 / t512 25.7 / t1024 22.4 vs t128 37.6 Mrays/s. The
+    debug_iters accounting shows why: per lane-iteration the wide tile
+    is ~14% FASTER (the amortization is real), but a tile's loop runs
+    until its SLOWEST lane exhausts its total sample budget, and the
+    max-over-lanes budget grows with tile width — t512 executes 1.66x
+    the lane-iterations (78.5M vs 47.2M; occupancy 49% vs 81%).
+    Per-lane path regeneration equalizes IDLE time, not BUDGET
+    variance; without cross-lane work stealing (a per-lane dynamic
+    pixel scatter the VPU cannot do cheaply), 128-lane exit granularity
+    stays optimal. Output is bit-identical to the default layout.
 
     sample_start (traced ok, brute path only) offsets the per-pixel
     sample stream — render_frame_pallas(spp=k, sample_start=c*k) summed
@@ -245,7 +264,7 @@ def render_frame_pallas(
             scene, cam, width, height, spp, max_depth, reference_quirk,
             interpret, tile_px, stratify, sample_block, fast_math, persistent,
             rr_start=rr_start, no_far=no_far, sample_start=sample_start,
-            debug_iters=debug_iters,
+            debug_iters=debug_iters, lane_major=lane_major,
         )
     if not (isinstance(sample_start, int) and sample_start == 0):
         raise PallasUnsupported("sample_start: brute path only")
@@ -337,7 +356,14 @@ def _render_frame_impl(
     sample_block=1, fast_math=False, persistent=False, row_offset=0,
     record_idx=False, sample_start=0, culled=False, cull_group=4,
     rr_start=None, no_far=False, tape_fields=3, debug_iters=False,
+    lane_major=False,
 ):
+    if lane_major:
+        assert persistent and sample_block == 1 and cluster_k == 0 \
+            and not record_idx, \
+            "lane_major: persistent brute forward only"
+    if tile_px == 128:
+        lane_major = False  # (1,128) == the default layout already
     # rr_start composes with record_idx (round 3): the RR kill decision is
     # a deterministic function of the recorded streams (beta replays
     # bit-identically, the kill draw comes from the same per-lane seed
@@ -403,6 +429,7 @@ def _render_frame_impl(
         no_far=no_far and fast_math,
         tape_fields=tape_fields,
         debug_iters=debug_iters,
+        lane_major=lane_major,
     )
 
     if cluster_k > 0:
@@ -472,11 +499,14 @@ def _render_frame_impl(
             in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
 
     ps0 = sample_block if sample_block > 1 else tile_px // 128
+    lane_w = 128
+    if lane_major:
+        ps0, lane_w = 1, tile_px  # ONE (1, tile_px) vector row per tile
     scratch_shapes = []
     if persistent:
         scratch_shapes += [
-            pltpu.VMEM((18 * ps0, 128), jnp.float32),  # per-lane path state
-            pltpu.VMEM((ps0, 128), jnp.uint32),        # RNG state
+            pltpu.VMEM((18 * ps0, lane_w), jnp.float32),  # per-lane path state
+            pltpu.VMEM((ps0, lane_w), jnp.uint32),        # RNG state
         ]
     if big_tex:
         # fetch accum + served flags; +6 rows of d(texel)/d(px,py)
@@ -484,7 +514,7 @@ def _render_frame_impl(
         aux_rows = 13 if (record_idx and tape_fields >= 9) else 7
         scratch_shapes += [
             pltpu.VMEM((TEX_SLOTS * 3 * TEX_BH, 128), jnp.float32),  # block cache
-            pltpu.VMEM((aux_rows * ps0, 128), jnp.float32),
+            pltpu.VMEM((aux_rows * ps0, lane_w), jnp.float32),
             # cached block ids + 2 debug counters (demand iters, DMA misses)
             pltpu.SMEM((1, TEX_SLOTS + 2), jnp.int32),
             pltpu.SemaphoreType.DMA,
