@@ -767,7 +767,15 @@ def band_cotangents(tableT, camv, idx, g_fb, width, band_rows, spp, max_depth,
     if not texture_grads:
         return out
     dtable, dcam, fb2, gtex2 = out
-    dtex = texture_image_grads(gtex2, t2, spp, max_depth, *tex_shape)
+    # MXU block-accumulation kernel (tracer.pallas.tex_scatter) instead
+    # of the XLA .at[].add scatter: ~200M serialized corner updates per
+    # spp chunk made texture_grads 24x slower than the same backward
+    # without it (round-5 measurement). texture_image_grads stays as the
+    # cross-check oracle (tests pin both).
+    from tracer.pallas import tex_scatter
+
+    dtex = tex_scatter.texture_image_grads_kernel(
+        gtex2, t2, spp, max_depth, *tex_shape, interpret=interpret)
     return dtable, dcam, fb2, dtex
 
 
