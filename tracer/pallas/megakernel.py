@@ -549,6 +549,22 @@ def _render_frame_impl(
                 jax.ShapeDtypeStruct((tape_fields * rows, grid * tile_px),
                                      jnp.float32))
 
+    # Mosaic's default scoped-VMEM limit is 16 MB; the brute kernel keeps
+    # the whole packed scene VMEM-resident AND its per-tile intersection
+    # temporaries scale with the prim-row count, so big scenes trip the
+    # check even though v5e has 128 MB of VMEM (measured: brute n=10000
+    # spheres wants 23.85 MB, n=20000 48.27 MB, culled n=20000 113 MB).
+    # Raise the cap only when the scene is actually big, so small-scene
+    # compiles keep the default envelope.
+    in_bytes = sum(int(getattr(x, "nbytes", 0)) for x in inputs)
+    max_rows = max(
+        (int(x.shape[0]) for x in inputs if getattr(x, "ndim", 0) >= 2),
+        default=0)
+    compiler_params = None
+    if in_bytes > 8 * 1024 * 1024 or max_rows > 4096:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024)
+
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -556,6 +572,7 @@ def _render_frame_impl(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
+        compiler_params=compiler_params,
         interpret=interpret,
     )(*inputs)
 
