@@ -622,17 +622,19 @@ class TestChunkedGradients:
                 np.testing.assert_allclose(an, bn, atol=tol, rtol=1e-5)
 
     def test_l2_grads_deep_multi_segment(self):
-        """Deep-depth differentiability: depth 20 = 3 backward segments
-        (seg_size 8) + the chunked driver, the same code path as the
-        reference's max_depth=50 (config.txt:16). Depth 50 itself is
-        validated ON HARDWARE (2026-08-19: 256x192 spp8, 800x600 spp32
-        and 1080x720 spp64 d50 chunked grad steps all finite on v5e) —
-        in interpret mode its ~150 unrolled bounce bodies cost 20+ min
-        of suite time for no extra coverage over depth 20."""
+        """Deep-depth differentiability: depth 10 = 2 backward segments
+        (seg_size 8, uneven 8+2 tail) + the chunked driver, the same
+        code path as the reference's max_depth=50 (config.txt:16).
+        Depth 50 itself is validated ON HARDWARE (2026-08-19: 256x192
+        spp8, 800x600 spp32 and 1080x720 spp64 d50 chunked grad steps
+        all finite on v5e) — interpret-mode XLA-CPU compile scales
+        superlinearly in the unrolled bounce bodies (depth 20 measured
+        >60 min of suite time on a 4-core box; depth 10 covers the
+        multi-segment + tail logic at a fraction of that)."""
         from tracer.pallas import bwd
 
         scene = _scene()
-        spp, depth = 1, 20
+        spp, depth = 1, 10
         target = np.zeros((H, W, 3), np.float32)
 
         loss, gs, gc = bwd.l2_grads_deep(
