@@ -392,8 +392,9 @@ def _measure() -> int:
     #    multi-device code path; this box has one chip). Time-boxed at
     #    64 spp: the rate is spp-invariant (chunked steps amortize fixed
     #    costs by 8 spp already) — the 256-spp step as written was run
-    #    end-to-end 2026-08-19, see BASELINE.md "config 5" for its wall
-    #    time. Last because it is the longest line (~6 min).
+    #    end-to-end 2026-08-20: 692.5 s/step compiled, 3.066 Mrays/s,
+    #    identical rate to this 64-spp line (BASELINE.md "Config 5 AS
+    #    WRITTEN"). Last because it is the longest line (~6 min).
     try:
         from tracer.dist import sharding as dist_sharding
 
