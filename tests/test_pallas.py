@@ -289,6 +289,30 @@ def test_lane_major_matches_default():
     np.testing.assert_array_equal(got, base)
 
 
+def test_interleave_matches_default():
+    # Round-5 closed experiment (kept tested): interleave=G splits the
+    # tile's spp into G independent sample-stream groups advanced in one
+    # loop body. Same streams and estimator; only the f32 accumulation
+    # grouping differs (per-group sums combined at the end). Measured
+    # slower on v5e — see the render_frame_pallas docstring.
+    scene = _scene()
+    w, h = 36, 7
+    cam = _cam(w, h)
+    base = np.asarray(
+        megakernel.render_frame_pallas(
+            scene, cam, w, h, spp=4, max_depth=4, interpret=True,
+        )
+    )
+    for g in (2, 4):
+        got = np.asarray(
+            megakernel.render_frame_pallas(
+                scene, cam, w, h, spp=4, max_depth=4, interpret=True,
+                interleave=g,
+            )
+        )
+        np.testing.assert_allclose(got, base, rtol=1e-6, atol=1e-6)
+
+
 def test_persistent_stratified_matches_sample_loop():
     scene = _scene()
     w, h = 32, 8

@@ -61,6 +61,7 @@ def _kernel(
     tape_fields: int = 3,
     debug_iters: bool = False,
     lane_major: bool = False,
+    interleave: int = 1,
 ):
     refs = list(refs)
     cull_scr = None
@@ -207,16 +208,45 @@ def _kernel(
         # relayouts: "Sublane broadcast").
         state_ref, seed_ref = scratch_refs
         ps0 = ps[0]
-        row = lambda i: state_ref[i * ps0:(i + 1) * ps0, :]
         F_S, F_DEPTH, F_ALIVE = 0, 1, 2
         F_O, F_D, F_B, F_F, F_A = 3, 6, 9, 12, 15
 
-        def put(i, v):
-            state_ref[i * ps0:(i + 1) * ps0, :] = v
+        # interleave (round 5): G independent SAMPLE-STREAM groups of the
+        # same 128 pixels advance back-to-back inside one loop body.
+        # Group g owns samples [g*spp/G, (g+1)*spp/G) and its own 18-row
+        # state block + seed row, so the G chains have no data deps and
+        # the Mosaic scheduler overlaps them (measured: 2 independent
+        # chains cost ~1.4x of one, benchmarks/interleave_microbench.py)
+        # — amortizing the latency-bound per-iteration fixed cost. Unlike
+        # lane-major wider tiles, the groups cover the SAME pixels, so
+        # their total bounce budgets are near-identical and the shared
+        # loop exit loses almost no occupancy. G=1 is the unchanged
+        # default path.
+        G = interleave
+        if G > 1:
+            assert not smaj and not clustered and not record_idx \
+                and not debug_iters and spp % G == 0, \
+                "interleave: persistent brute forward, spp % G == 0"
 
-        def put3(i, v3):
-            for c in range(3):
-                put(i + c, v3[c])
+        def accessors(g):
+            off = 18 * g
+            row = lambda i: state_ref[(off + i) * ps0:(off + i + 1) * ps0, :]
+
+            def put(i, v):
+                state_ref[(off + i) * ps0:(off + i + 1) * ps0, :] = v
+
+            def put3(i, v3):
+                for c in range(3):
+                    put(i + c, v3[c])
+
+            seed_get = lambda: seed_ref[g * ps0:(g + 1) * ps0, :]
+
+            def seed_put(v):
+                seed_ref[g * ps0:(g + 1) * ps0, :] = v
+
+            return row, put, put3, seed_get, seed_put
+
+        row, put, put3, _, _ = accessors(0)
 
         flat = lambda x: jnp.broadcast_to(x, ps).reshape(1, flat_n)
         # smaj state is ALREADY tile-shaped; everything else reshapes the
@@ -237,21 +267,30 @@ def _kernel(
         s_stride = jnp.float32(ps0 if smaj else 1)
         s_first = s_off.astype(jnp.float32) - s_stride if smaj else -1.0
 
-        put(F_S, jnp.where(valid, s_first, spp_f))  # about to start 1st sample
-        put(F_DEPTH, jnp.broadcast_to(maxd_f, ps))  # forces regen on entry
-        put(F_ALIVE, jnp.zeros(ps, jnp.float32))
-        zero3 = (jnp.zeros(ps, jnp.float32),) * 3
-        put3(F_O, zero3)
-        put3(F_D, zero3)
-        put3(F_B, zero3)
-        put3(F_F, zero3)
-        put3(F_A, zero3)
-        seed_ref[...] = jnp.broadcast_to(base_seed, ps)
+        sppg_f = jnp.float32(spp // G)
+        for g in range(G):
+            g_row, g_put, g_put3, _, g_seed_put = accessors(g)
+            lo_f = jnp.float32(g * (spp // G))
+            hi_f = lo_f + sppg_f  # group sample bound (== spp_f at G=1)
+            first_g = s_first if smaj else lo_f - 1.0
+            g_put(F_S, jnp.where(valid, first_g, hi_f))  # about to start
+            g_put(F_DEPTH, jnp.broadcast_to(maxd_f, ps))  # regen on entry
+            g_put(F_ALIVE, jnp.zeros(ps, jnp.float32))
+            zero3 = (jnp.zeros(ps, jnp.float32),) * 3
+            g_put3(F_O, zero3)
+            g_put3(F_D, zero3)
+            g_put3(F_B, zero3)
+            g_put3(F_F, zero3)
+            g_put3(F_A, zero3)
+            g_seed_put(jnp.broadcast_to(base_seed, ps))
 
         def cond(remaining):
             return remaining > 0
 
-        def body(remaining):
+        def step_group(g):
+            row, put, put3, seed_get, seed_put = accessors(g)
+            lo_f = jnp.float32(g * (spp // G))
+            hi_f = lo_f + sppg_f  # group sample bound (== spp_f at G=1)
             s = row(F_S)
             depth = row(F_DEPTH)
             alive = row(F_ALIVE) > 0.5
@@ -259,7 +298,7 @@ def _kernel(
             dx, dy, dz = row(F_D), row(F_D + 1), row(F_D + 2)
             b0, b1, b2 = row(F_B), row(F_B + 1), row(F_B + 2)
             f0, f1, f2 = row(F_F), row(F_F + 1), row(F_F + 2)
-            seed = seed_ref[...]
+            seed = seed_get()
 
             # -- sample boundary: fold the finished sample, regenerate ----
             over = (~alive) | (depth >= maxd_f)
@@ -269,8 +308,8 @@ def _kernel(
             f0 = jnp.where(over, 0.0, f0)
             f1 = jnp.where(over, 0.0, f1)
             f2 = jnp.where(over, 0.0, f2)
-            s = jnp.where(over, jnp.minimum(s + s_stride, spp_f), s)
-            can = over & (s < spp_f) & valid
+            s = jnp.where(over, jnp.minimum(s + s_stride, hi_f), s)
+            can = over & (s < hi_f) & valid
 
             s_g = s + samp0.astype(jnp.float32)  # global sample id
             seed_r = _wang_hash(base_seed + s_g.astype(jnp.int32).astype(_U))
@@ -328,8 +367,8 @@ def _kernel(
                 put3(F_D, d3)
                 put3(F_B, beta)
                 put3(F_F, fin)
-                seed_ref[...] = seed
-                return jnp.sum((s < spp_f).astype(jnp.int32))
+                seed_put(seed)
+                return jnp.sum((s < hi_f).astype(jnp.int32))
 
             o8 = jnp.concatenate(
                 [flat(ox), flat(oy), flat(oz), jnp.zeros((5, flat_n), jnp.float32)],
@@ -412,8 +451,14 @@ def _kernel(
             put3(F_D, d3)
             put3(F_B, beta)
             put3(F_F, fin)
-            seed_ref[...] = seed
-            return jnp.sum((s < spp_f).astype(jnp.int32))
+            seed_put(seed)
+            return jnp.sum((s < hi_f).astype(jnp.int32))
+
+        def body(remaining):
+            rem = step_group(0)
+            for g in range(1, G):
+                rem = rem + step_group(g)
+            return rem
 
         if PERSIST_UNROLL > 1:
             inner = body
@@ -445,7 +490,8 @@ def _kernel(
                 put(F_A + 2, jnp.broadcast_to(
                     tex_scr[2][0, TEX_SLOTS + 1].astype(jnp.float32), ps))
         else:
-            jax.lax.while_loop(cond, body, jnp.sum(valid.astype(jnp.int32)))
+            jax.lax.while_loop(
+                cond, body, jnp.int32(G) * jnp.sum(valid.astype(jnp.int32)))
         # one more fold: the final sample of each lane ended inside the
         # last iterations with its radiance still in `final`... no — the
         # fold happens at the top of the NEXT iteration, and a lane only
@@ -459,9 +505,11 @@ def _kernel(
             for c in range(3):
                 out_ref[c:c + 1, :] = jnp.sum(row(F_A + c), axis=0, keepdims=True)
         else:
-            out_ref[0:1, :] = row(F_A + 0).reshape(1, tile_px)
-            out_ref[1:2, :] = row(F_A + 1).reshape(1, tile_px)
-            out_ref[2:3, :] = row(F_A + 2).reshape(1, tile_px)
+            for c in range(3):
+                acc_c = row(F_A + c)
+                for g in range(1, G):
+                    acc_c = acc_c + accessors(g)[0](F_A + c)
+                out_ref[c:c + 1, :] = acc_c.reshape(1, tile_px)
         return
 
     def one_sample(s, acc):

@@ -75,14 +75,14 @@ from tracer.pallas.kernels import _kernel  # noqa: F401
     static_argnames=(
         "width", "height", "spp", "max_depth", "reference_quirk", "interpret",
         "tile_px", "stratify", "sample_block", "fast_math", "persistent",
-        "rr_start", "no_far", "debug_iters", "lane_major",
+        "rr_start", "no_far", "debug_iters", "lane_major", "interleave",
     ),
 )
 def _render_brute_jit(
     scene, cam, width, height, spp, max_depth, reference_quirk, interpret,
     tile_px, stratify, sample_block, fast_math, persistent, row_offset=0,
     rr_start=None, no_far=False, sample_start=0, debug_iters=False,
-    lane_major=False,
+    lane_major=False, interleave=1,
 ):
     """Whole brute path (packing included) under one jit: repeat frames
     dispatch ONE remote call instead of ~30 tiny eager ops (the eager
@@ -92,7 +92,7 @@ def _render_brute_jit(
         interpret, 0, tile_px, stratify, None, sample_block=sample_block,
         fast_math=fast_math, persistent=persistent, row_offset=row_offset,
         rr_start=rr_start, no_far=no_far, sample_start=sample_start,
-        debug_iters=debug_iters, lane_major=lane_major,
+        debug_iters=debug_iters, lane_major=lane_major, interleave=interleave,
     )
 
 
@@ -187,6 +187,7 @@ def render_frame_pallas(
     sample_start=0,
     debug_iters: bool = False,
     lane_major: bool = False,
+    interleave: int = 1,
 ):
     """Render one frame with the fused megakernel.
 
@@ -206,6 +207,22 @@ def render_frame_pallas(
     variance; without cross-lane work stealing (a per-lane dynamic
     pixel scatter the VPU cannot do cheaply), 128-lane exit granularity
     stays optimal. Output is bit-identical to the default layout.
+
+    interleave=G (round 5, persistent brute path only; CLOSED
+    experiment, measured loser) splits each 128-px tile's spp into G
+    independent SAMPLE-STREAM groups — own 18-row state block and seed
+    row each — advanced back-to-back inside one loop body. The bet:
+    benchmarks/interleave_microbench.py measured 2 independent scratch-
+    RMW chains at ~1.4x the time of one (the loop is latency-bound), and
+    groups covering the SAME pixels have near-identical total budgets,
+    so the occupancy loss that sank lane-major should vanish. Measured
+    on v5e (canonical untextured 800x600 spp32 d50 fm, fixed pose):
+    G=1 48.5 / G=2 45.4 / G=4 37.4 Mrays/s — the real body's ~dozens of
+    heterogeneous ops per bounce are issue-bound enough that doubling
+    the op stream costs more than the latency it hides, and each group
+    re-runs the full intersection matmul set per iteration. Same
+    estimator and streams; output differs from the default only in f32
+    accumulation grouping (groups sum per-group then combine).
 
     sample_start (traced ok, brute path only) offsets the per-pixel
     sample stream — render_frame_pallas(spp=k, sample_start=c*k) summed
@@ -265,6 +282,7 @@ def render_frame_pallas(
             interpret, tile_px, stratify, sample_block, fast_math, persistent,
             rr_start=rr_start, no_far=no_far, sample_start=sample_start,
             debug_iters=debug_iters, lane_major=lane_major,
+            interleave=interleave,
         )
     if not (isinstance(sample_start, int) and sample_start == 0):
         raise PallasUnsupported("sample_start: brute path only")
@@ -356,12 +374,17 @@ def _render_frame_impl(
     sample_block=1, fast_math=False, persistent=False, row_offset=0,
     record_idx=False, sample_start=0, culled=False, cull_group=4,
     rr_start=None, no_far=False, tape_fields=3, debug_iters=False,
-    lane_major=False,
+    lane_major=False, interleave=1,
 ):
     if lane_major:
         assert persistent and sample_block == 1 and cluster_k == 0 \
             and not record_idx, \
             "lane_major: persistent brute forward only"
+    if interleave > 1:
+        assert persistent and sample_block == 1 and cluster_k == 0 \
+            and not record_idx and not lane_major and tile_px == 128 \
+            and spp % interleave == 0, \
+            "interleave: persistent brute forward, 128-px tiles, spp % G == 0"
     if tile_px == 128:
         lane_major = False  # (1,128) == the default layout already
     # rr_start composes with record_idx (round 3): the RR kill decision is
@@ -430,6 +453,7 @@ def _render_frame_impl(
         tape_fields=tape_fields,
         debug_iters=debug_iters,
         lane_major=lane_major,
+        interleave=interleave,
     )
 
     if cluster_k > 0:
@@ -505,8 +529,10 @@ def _render_frame_impl(
     scratch_shapes = []
     if persistent:
         scratch_shapes += [
-            pltpu.VMEM((18 * ps0, lane_w), jnp.float32),  # per-lane path state
-            pltpu.VMEM((ps0, lane_w), jnp.uint32),        # RNG state
+            # per-lane path state + RNG, one 18-row block and seed row per
+            # interleave group
+            pltpu.VMEM((18 * interleave * ps0, lane_w), jnp.float32),
+            pltpu.VMEM((interleave * ps0, lane_w), jnp.uint32),
         ]
     if big_tex:
         # fetch accum + served flags; +6 rows of d(texel)/d(px,py)
