@@ -60,6 +60,26 @@ class TestAnimationDriver:
         assert os.path.exists(tmp_path / "f_0.bin")
         assert os.path.exists(tmp_path / "f_1.bin")
 
+    def test_pallas_spp_chunking_matches_one_dispatch(self, tmp_path):
+        """The driver's auto spp-chunking (bounds single-dispatch
+        duration at reference-scale sample counts) must reproduce the
+        one-dispatch frame: disjoint global sample ids via sample_start,
+        summed — identical estimator up to f32 addition order."""
+        params = config.read_scene_params(io.StringIO(config.smoke_config_text()))
+        params.width, params.height = 24, 8
+        params.num_frames = 1
+        params.render.sqrt_rays_per_pixel = 2  # spp 4
+        params.render.max_depth = 3
+        scene = builders.create_scene(params, texture_loader=lambda _: None)
+        fbs = {}
+        for name, ch in (("one", 4), ("chunked", 1)):
+            params.output_path = str(tmp_path / f"{name}_%d.bin")
+            fbs[name] = np.asarray(driver.render_animation(
+                scene, params, engine="pallas", out=io.StringIO(),
+                spp_chunk=ch))
+        np.testing.assert_allclose(fbs["chunked"], fbs["one"],
+                                   rtol=1e-6, atol=1e-6)
+
     def test_frames_subset(self, tmp_path):
         params = config.read_scene_params(io.StringIO(config.smoke_config_text()))
         params.width, params.height = 8, 8

