@@ -162,6 +162,39 @@ def _measure() -> int:
     except Exception as e:
         print(f"rr bench failed: {e}", file=sys.stderr)
 
+    # 2c. The reference's LITERAL headline workload: one frame of
+    #     config.txt exactly as written — 1080x720, sqrt_spp 50
+    #     (2500 spp), depth 50, textured floor. spp is chunked into
+    #     100-spp dispatches (sample_start; identical estimator up to
+    #     f32 addition order) because a single ~80 s dispatch risks the
+    #     tunneled worker's long-dispatch kill. Measured 2026-08-20:
+    #     83.1 s/frame, 23.4 Mrays/s.
+    try:
+        cw2, ch2 = 1080, 720
+        cspp2 = params.render.sqrt_rays_per_pixel ** 2  # config.txt: 2500
+        cdepth2 = params.render.max_depth  # 50
+        CH2 = 100
+
+        def run_canonical(cam):
+            fb = None
+            for c in range(0, cspp2, CH2):
+                part = megakernel.render_frame_pallas(
+                    scene_tex, cam, cw2, ch2, spp=min(CH2, cspp2 - c),
+                    max_depth=cdepth2, fast_math=True, sample_start=c)
+                fb = part if fb is None else fb + part
+            float(probe(fb))
+            return fb
+
+        best = _time_frames(run_canonical, lambda k: cam_at(k, cw2, ch2),
+                            nframes=1)
+        _emit("fwd_canonical_aswritten_mrays_per_s",
+              cw2 * ch2 * cspp2 / best / 1e6,
+              {"engine": "pallas+sppchunk", "textured": True,
+               "shape": f"{cw2}x{ch2}x{cspp2}spp d{cdepth2}",
+               "note": "config.txt frame exactly as written"})
+    except Exception as e:
+        print(f"canonical-as-written bench failed: {e}", file=sys.stderr)
+
     # 3. fwd+bwd via the record + FUSED-KERNEL backward (round 3; the
     #    round-2 XLA replay measured 11.9 at this shape, round-1 remat 1.9)
     try:
