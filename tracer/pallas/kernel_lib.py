@@ -696,10 +696,35 @@ def _sample_texture(texr_ref, texg_ref, texb_ref, u, v, th, tw,
 # ----------------------------------------------------------------------
 
 
+def _shade_draws(seed):
+    """The fixed-budget scatter draws of one bounce (materials.h:70-140
+    analog; RAW — the hemisphere sign flip happens in _shade where the
+    surface normal is known). Depends ONLY on the carried RNG seed, so
+    the persistent kernel evaluates it before the intersection.
+    Measured NEUTRAL on v5e (38.1/36.6/29.7/48.4 vs 38.2/36.7/29.8/48.7
+    Mrays/s across poses): Mosaic already schedules the hash chain by
+    dataflow, so the textual position never extended the critical path
+    — kept because it makes the draw-stream contract explicit and
+    the independence machine-checked. Returns (new_seed, draws) in the
+    exact stream order of the in-place block it replaced — values and
+    streams are bit-identical either way."""
+    seed, u_choice = _rand(seed)
+    seed, h3 = _rand_unit_vector(seed)
+    seed, (ballx, bally, ballz) = _rand_unit_vector(seed)
+    seed, u_ball = _rand(seed)
+    # Mosaic has no cbrt; exp(log(u)/3) matches jnp.cbrt to ~1 ulp on
+    # (0, 1) and maps u = 0 to ~0 via the clamp.
+    br = jnp.exp(jnp.log(jnp.maximum(u_ball, 1e-38)) * jnp.float32(1.0 / 3.0))
+    ball3 = (ballx * br, bally * br, ballz * br)
+    seed, u_refl = _rand(seed)
+    seed, u_rr = _rand(seed)
+    return seed, (u_choice, h3, ball3, u_refl, u_rr)
+
+
 def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg, to_px,
            pu=None, pv=None, tex_refs=None, flat=None, big_tex=None, ps=None,
            rr_start=None, depth=None, rec_rows=1, tape_fields=0,
-           sqrt_fn=jnp.sqrt):
+           sqrt_fn=jnp.sqrt, draws=None):
     # tape_fields: texture-tape rows to return for the recording kernel —
     # 0 = none, 3 = the texel multipliers (round 2), 9 = + d(texel)/du
     # and d(texel)/dv per channel (round 3: the replay linearizes the
@@ -833,20 +858,14 @@ def _shade(rec, t_best, ox, oy, oz, dx, dy, dz, a, beta, final, seed, alive, bg,
     f1 = f1 + jnp.where(active, b1 * em1, 0.0)
     f2 = f2 + jnp.where(active, b2 * em2, 0.0)
 
-    # fixed 8-draw scatter
-    seed, u_choice = _rand(seed)
-    seed, (hx, hy, hz) = _rand_unit_vector(seed)
+    # fixed 8-draw scatter (hoistable: see _shade_draws)
+    if draws is None:
+        draws = _shade_draws(seed)
+    seed, (u_choice, (hx, hy, hz), (ballx, bally, ballz),
+           u_refl, u_rr) = draws
     hdotn = hx * nx + hy * ny + hz * nz
     hsgn = jnp.where(hdotn > 0.0, 1.0, -1.0)
     hx, hy, hz = hx * hsgn, hy * hsgn, hz * hsgn  # hemisphere
-    seed, (ballx, bally, ballz) = _rand_unit_vector(seed)
-    seed, u_ball = _rand(seed)
-    # Mosaic has no cbrt; exp(log(u)/3) matches jnp.cbrt to ~1 ulp on
-    # (0, 1) and maps u = 0 to ~0 via the clamp.
-    br = jnp.exp(jnp.log(jnp.maximum(u_ball, 1e-38)) * jnp.float32(1.0 / 3.0))
-    ballx, bally, ballz = ballx * br, bally * br, ballz * br
-    seed, u_refl = _rand(seed)
-    seed, u_rr = _rand(seed)
 
     inv_dlen = jax.lax.rsqrt(jnp.maximum(a, 1e-30))
     udx, udy, udz = dx * inv_dlen, dy * inv_dlen, dz * inv_dlen

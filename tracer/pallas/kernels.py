@@ -20,7 +20,7 @@ from tracer.scene.types import K_INFINITY
 from tracer.pallas.kernel_lib import (
     JROWS, PERSIST_UNROLL, TEX_SLOTS, _U,
     _intersect_brute, _intersect_brute_rows, _rand, _round_up,
-    _shade, _wang_hash,
+    _shade, _shade_draws, _wang_hash,
 )
 from tracer.pallas.culling import _intersect_clustered, _intersect_culled
 
@@ -341,6 +341,12 @@ def _kernel(
             # no bool select_n in Mosaic (i8->i1 trunc): use logical masks
             alive = (over & can) | (~over & alive)
 
+            # scatter draws depend only on the post-regen seed — hoisted
+            # ahead of the intersection (measured perf-neutral: the
+            # scheduler already overlaps by dataflow; streams and values
+            # bit-identical — see _shade_draws)
+            draws = _shade_draws(seed)
+
             # -- one bounce for every live lane ---------------------------
             a = dx * dx + dy * dy + dz * dz
             od = ox * dx + oy * dy + oz * dz
@@ -359,6 +365,7 @@ def _kernel(
                     (f0, f1, f2), seed, alive, (bgr, bgg, bgb), to_px,
                     pu=pu, pv=pv, tex_refs=tex_refs, flat=flat, big_tex=big,
                     ps=ps, rr_start=rr_start, depth=depth, rec_rows=ps0,
+                    draws=draws,
                 )
                 put(F_S, s)
                 put(F_DEPTH, depth + 1.0)
@@ -426,6 +433,7 @@ def _kernel(
                 pu=pu, pv=pv, tex_refs=tex_refs, flat=flat, big_tex=big, ps=ps,
                 rr_start=rr_start, depth=depth,
                 tape_fields=tape_fields if textape_ref is not None else 0,
+                draws=draws,
             )
             if textape_ref is not None:
                 o3, d3, beta, fin, seed, alive2, tms = shade_out
